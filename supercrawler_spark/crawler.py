@@ -1,0 +1,677 @@
+"""SparkCrawler — the PySpark-native URL frontier + fetch scheduler.
+
+One reference crawl tick (/root/reference/lib/Crawler.js:154-207) becomes one
+**batch micro-cycle** (SURVEY.md §3.1): a politeness budget B of due URLs is
+popped with a salted host-bucketed window rank, robots-checked against a
+broadcast robots dimension, fetched (equi-join against the synthetic
+``web_pages`` web — production swaps in a ``mapInPandas`` HTTP stage),
+handler-parsed in ONE vectorized ``mapInPandas`` pass (so the parse is shared
+across handlers, like the reference's memoized cheerio context —
+Crawler.js optimization O8), link-deduped with an anti-join (optionally
+Bloom-prefiltered), and merged back into the frontier — one snapshot commit
+per cycle, resumable from checkpoint.
+
+Time is a **virtual clock in milliseconds**: each processed URL advances the
+clock by ``interval_ms`` — exactly the reference's global rate limiter
+(Crawler.js:534-549) under a deterministic clock, so crawl order is
+reproducible and comparable against the pure-Python oracle
+(supercrawler_spark.oracle). With ``budget=1`` a micro-cycle degenerates to
+the reference's one-URL-at-a-time loop and crawl order matches it exactly.
+
+Scale notes (100 TB / 10^10-URL frontier):
+- the frontier is never windowed globally: the pop ranks within host
+  partitions then takes a global top-B via sort+limit (TakeOrdered — no
+  single-partition shuffle of the frontier);
+- only the B popped rows (url/seq/num_errors — no bodies) ever reach the
+  driver: B is the politeness budget, bounded by config, not by data size;
+- seq assignment windows only over the CYCLE's new links (budget-bounded),
+  never over the frontier;
+- the seen-check is an anti-join keyed on the URL, prefiltered by the
+  persisted partitioned Bloom filter (supercrawler_spark.bloom) so at scale
+  only probable-duplicates reach the shuffle;
+- the robots cache is a genuinely small dimension (one row per host-key),
+  broadcast-joined per cycle (Crawler.js robots cache, O6).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import functions as SF
+from . import urls as urls_mod
+from .handlers import HandlerRegistry, HandlersError, default_registry
+from .storage import AppendLog, SnapshotStore
+
+YEAR_MS = float(urls_mod.YEAR_MS)
+HOUR_MS = 3600000.0
+LEASE_MS = 60000.0  # DbUrlList.js:273 — in-flight lease window
+
+# deterministic analog of the reference's network-failure message
+# ("A request error occured. " + err.message — Crawler.js:396-399)
+REQUEST_ERROR_MSG = "A request error occured. connect ECONNREFUSED"
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("status_code", T.IntegerType()),
+    T.StructField("error_code", T.StringType()),
+    T.StructField("error_message", T.StringType()),
+    T.StructField("num_errors", T.IntegerType()),
+    T.StructField("next_fetch_time", T.DoubleType()),
+    T.StructField("seq", T.LongType()),
+])
+
+CRAWL_LOG_SCHEMA = T.StructType([
+    T.StructField("cycle_id", T.LongType()),
+    T.StructField("batch_idx", T.LongType()),
+    T.StructField("event", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("status_code", T.IntegerType()),
+    T.StructField("error_code", T.StringType()),
+    T.StructField("detail", T.StringType()),
+])
+
+_KERNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("batch_idx", T.LongType()),
+    T.StructField("link_idx", T.LongType()),
+    T.StructField("link", T.StringType()),
+    T.StructField("handlers_error", T.StringType()),
+])
+
+
+@dataclass
+class CrawlConfig:
+    """Reference option parity — /root/reference/lib/Crawler.js:13-40."""
+    interval_ms: float = 1000.0          # Crawler.js:14,35
+    budget: int = 1                      # per-cycle batch (1 ⇒ exact reference order)
+    per_host_cap: int | None = None      # politeness: max rows per host per cycle
+    order_mode: str = "random"           # "random" (DbUrlList) | "fifo" (FifoUrlList)
+    robots_enabled: bool = True          # Crawler.js robotsEnabled
+    robots_ignore_server_error: bool = False  # Crawler.js robotsIgnoreServerError
+    robots_cache_ttl_ms: float = 3600000.0    # Crawler.js:16,38-40
+    user_agent: str = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
+                       "+https://github.com/brendonboshell/supercrawler)")
+    initial_retry_ms: float = HOUR_MS    # DbUrlList.js:81
+    recrawl_ms: float = YEAR_MS          # DbUrlList.js:7,36
+    checkpoint_every: int = 8            # parquet snapshot cadence (cycles)
+    use_bloom: bool = False              # Bloom-prefiltered dedup (scale path)
+    bloom_partitions: int = 32
+    bloom_capacity: int = 1 << 20
+    max_redirect_hops: int = 10          # robots fetch follows redirects
+
+
+@dataclass
+class _RobotsEntry:
+    txt: str | None          # robots text ("" = allow-all)
+    deny_status: int | None  # set ⇒ deny entire host (Crawler.js:469-491)
+    req_err: bool            # robots fetch was a request error
+    fetched_at: float
+
+
+@dataclass
+class CycleStats:
+    cycle_id: int
+    popped: int = 0
+    links_found: int = 0
+    links_new: int = 0
+    dedup_hits: int = 0
+    robots_denied: int = 0
+    errors: int = 0
+    events: list = field(default_factory=list)
+
+
+class SparkCrawler:
+    def __init__(self, spark: SparkSession, web_pages: DataFrame,
+                 workdir: str, config: CrawlConfig | None = None,
+                 registry: HandlerRegistry | None = None):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.registry = registry if registry is not None else default_registry()
+        self.web_pages = web_pages
+        self.store = SnapshotStore(os.path.join(workdir, "snapshots"))
+        self.crawl_log = AppendLog(os.path.join(workdir, "crawl_log"))
+        self.metrics_log = AppendLog(os.path.join(workdir, "metrics"))
+        self.frontier: DataFrame | None = None
+        self.robots_cache: dict[str, _RobotsEntry] = {}
+        self.max_seq: int = -1
+        self.cycle_id: int = 0
+        self.cycle_time: float = 0.0
+        self.crawl_order: list[tuple[int, int, str]] = []
+        self._log_buffer: list[dict] = []
+        self._metrics_buffer: list[dict] = []
+        self._bloom = None
+        if self.config.use_bloom:
+            from .bloom import PartitionedBloom
+            self._bloom = PartitionedBloom(self.config.bloom_partitions,
+                                           self.config.bloom_capacity)
+
+    # ------------------------------------------------------------------
+    # seeding / resume
+    # ------------------------------------------------------------------
+    def seed(self, urls: list[str]) -> None:
+        """insertIfNotExists of the seed list in order (Crawler README API;
+        FifoUrlList.js:26-38). First occurrence wins."""
+        seen, rows = set(), []
+        for u in urls:
+            if u in seen:
+                continue
+            seen.add(u)
+            self.max_seq += 1
+            rows.append(self._fresh_row(u, self.max_seq, self.cycle_time))
+        if not rows:
+            return
+        df = self.spark.createDataFrame(pd.DataFrame(rows), schema=FRONTIER_SCHEMA)
+        if self.frontier is None:
+            self.frontier = df
+        else:
+            incoming = df.join(self.frontier.select("url"), "url", "left_anti")
+            self.frontier = self.frontier.unionByName(incoming.select(*[f.name for f in FRONTIER_SCHEMA]))
+        self.frontier = self.frontier.localCheckpoint(eager=True)
+        if self._bloom is not None:
+            self._bloom.add(self.spark, df.select("url"))
+
+    def _fresh_row(self, url: str, seq: int, now_ms: float) -> dict:
+        if self.config.order_mode == "fifo":
+            nft = 0.0
+        else:
+            nft = now_ms - urls_mod.deterministic_priority(url) * YEAR_MS
+        return {
+            "url_hash": None, "url": url, "host": urls_mod.hostname_of(url),
+            "status_code": None, "error_code": None, "error_message": None,
+            "num_errors": 0, "next_fetch_time": nft, "seq": seq,
+        }
+
+    def resume(self) -> bool:
+        """Restart from the last committed snapshot (north_rule checkpoint
+        requirement). Returns True if a snapshot was found."""
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            return False
+        meta = manifest["meta"]
+        self.frontier = self.store.load(self.spark, "frontier").localCheckpoint(eager=True)
+        robots_df = self.store.load(self.spark, "robots")
+        self.robots_cache = {}
+        if robots_df is not None:
+            for r in robots_df.collect():
+                self.robots_cache[r["robots_key"]] = _RobotsEntry(
+                    r["robots_txt"], r["deny_status"], r["req_err"], r["fetched_at"])
+        self.max_seq = meta["max_seq"]
+        self.cycle_id = meta["cycle_id"]
+        self.cycle_time = meta["cycle_time"]
+        return True
+
+    def _commit_snapshot(self) -> None:
+        robots_rows = [
+            {"robots_key": k, "robots_txt": e.txt, "deny_status": e.deny_status,
+             "req_err": e.req_err, "fetched_at": e.fetched_at}
+            for k, e in self.robots_cache.items()
+        ]
+        robots_schema = T.StructType([
+            T.StructField("robots_key", T.StringType()),
+            T.StructField("robots_txt", T.StringType()),
+            T.StructField("deny_status", T.IntegerType()),
+            T.StructField("req_err", T.BooleanType()),
+            T.StructField("fetched_at", T.DoubleType()),
+        ])
+        robots_df = self.spark.createDataFrame(robots_rows, schema=robots_schema)
+        self._flush_logs()
+        # frontier sorted by next_fetch_time within partitions → parquet
+        # min/max stats make the due-filter prune files at scale (O1)
+        frontier_out = self.frontier.repartition(
+            self.spark.conf.get("spark.sql.shuffle.partitions") and
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")) or 32,
+            "host").sortWithinPartitions("next_fetch_time")
+        self.store.commit(
+            {"frontier": frontier_out, "robots": robots_df},
+            meta={"cycle_id": self.cycle_id, "cycle_time": self.cycle_time,
+                  "max_seq": self.max_seq},
+        )
+
+    # ------------------------------------------------------------------
+    # the micro-cycle
+    # ------------------------------------------------------------------
+    def run_cycle(self) -> CycleStats:
+        """One micro-cycle. Returns stats; stats.popped == 0 ⇔ urllistempty
+        (+ urllistcomplete, since batch cycles leave nothing in flight —
+        Crawler.js:196-201)."""
+        cfg = self.config
+        stats = CycleStats(cycle_id=self.cycle_id)
+        batch = self._pop_batch()
+        stats.popped = len(batch)
+        if not batch:
+            stats.events.append(("urllistempty", None))
+            stats.events.append(("urllistcomplete", None))
+            return stats
+
+        for idx, row in enumerate(batch):
+            self.crawl_order.append((self.cycle_id, idx, row["url"]))
+
+        # --- robots refresh + routing (driver-coordinated small dimension) --
+        robots_inserts: list[tuple[int, str]] = []  # (batch_idx, robots_url)
+        if cfg.robots_enabled:
+            robots_inserts = self._refresh_robots(batch)
+
+        batch_pdf = pd.DataFrame([
+            {"batch_idx": idx, "url": r["url"], "num_errors": int(r["num_errors"] or 0)}
+            for idx, r in enumerate(batch)
+        ])
+        batch_df = self.spark.createDataFrame(batch_pdf, schema=T.StructType([
+            T.StructField("batch_idx", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("num_errors", T.IntegerType()),
+        ]))
+
+        if cfg.robots_enabled:
+            robots_dim = self._robots_dim_df()
+            batch_df = batch_df.withColumn("robots_key", SF.robots_url_udf("url"))
+            batch_df = batch_df.join(F.broadcast(robots_dim), "robots_key", "left")
+            allowed_udf = SF.make_robots_allowed_udf(cfg.user_agent)
+            batch_df = batch_df.withColumn(
+                "robots_allowed",
+                F.when(F.col("robots_req_err") | F.col("robots_deny_status").isNotNull(), F.lit(None))
+                 .otherwise(allowed_udf(F.col("url"), F.col("robots_txt"))))
+        else:
+            batch_df = (batch_df
+                        .withColumn("robots_txt", F.lit(None).cast("string"))
+                        .withColumn("robots_deny_status", F.lit(None).cast("int"))
+                        .withColumn("robots_req_err", F.lit(False))
+                        .withColumn("robots_allowed", F.lit(True)))
+
+        # --- fetch join (J5/S4) — production: mapInPandas HTTP stage -------
+        pages = self.web_pages.select(
+            "url",
+            F.col("status_code").alias("f_status"),
+            F.col("content_type").alias("f_content_type"),
+            F.col("location").alias("f_location"),
+            F.col("body").alias("f_body"),
+        )
+        fetched = batch_df.join(pages, "url", "left")
+
+        # rows that fire handlers: robots-allowed, present, 2xx non-redirect
+        fetch_ok = (F.col("robots_allowed") & F.col("f_status").isNotNull()
+                    & (F.col("f_status") < 400))
+
+        kernel = _make_handler_kernel(self.registry)
+        kernel_in = (fetched
+                     .filter(fetch_ok)
+                     .select("batch_idx", "url", "f_status", "f_content_type",
+                             "f_location", "f_body"))
+        kernel_out = kernel_in.mapInPandas(kernel, schema=_KERNEL_OUT_SCHEMA)
+        kernel_out = kernel_out.persist()
+
+        handler_errors = (kernel_out
+                          .filter(F.col("handlers_error").isNotNull())
+                          .select("batch_idx", "handlers_error"))
+        links_df = (kernel_out
+                    .filter(F.col("link").isNotNull())
+                    .select("batch_idx", "link_idx", F.col("link").alias("url")))
+
+        # --- per-row outcome fold (error taxonomy, Crawler.js:283-314) ------
+        results = (fetched
+                   .join(F.broadcast(handler_errors), "batch_idx", "left")
+                   .select(
+                       "batch_idx", "url", "num_errors",
+                       "robots_allowed", "robots_deny_status", "robots_req_err",
+                       "f_status", "handlers_error"))
+        results = results.withColumn(
+            "error_code",
+            F.when(F.col("robots_req_err"), F.lit("REQUEST_ERROR"))
+             .when(F.col("robots_deny_status").isNotNull(), F.lit("ROBOTS_NOT_ALLOWED"))
+             .when(~F.col("robots_allowed"), F.lit("ROBOTS_NOT_ALLOWED"))
+             .when(F.col("f_status").isNull(), F.lit("REQUEST_ERROR"))
+             .when(F.col("f_status") >= 400, F.lit("HTTP_ERROR"))
+             .when(F.col("handlers_error").isNotNull(), F.lit("HANDLERS_ERROR"))
+             .otherwise(F.lit(None).cast("string")))
+        results = results.withColumn(
+            "error_message",
+            SF.truncate_error(
+                F.when(F.col("error_code") == "REQUEST_ERROR", F.lit(REQUEST_ERROR_MSG))
+                 .when(F.col("robots_deny_status").isNotNull(),
+                       F.concat(F.lit("No crawling is allowed because robots.txt "
+                                      "could not be crawled. Status code "),
+                                F.col("robots_deny_status").cast("string")))
+                 .when(F.col("error_code") == "ROBOTS_NOT_ALLOWED",
+                       F.concat(F.lit("The URL is "), F.col("url"),
+                                F.lit(" is not allowed to be crawled due to "
+                                      "robots.txt exclusion")))
+                 .when(F.col("error_code") == "HANDLERS_ERROR", F.col("handlers_error"))
+                 .otherwise(F.lit(None).cast("string"))))
+        # statusCode stored: success & redirects & HTTP_ERROR keep it; robots/
+        # request/handlers errors null it (Crawler.js:283-314)
+        results = results.withColumn(
+            "status_out",
+            F.when(F.col("error_code").isNull() |
+                   (F.col("error_code") == "HTTP_ERROR"), F.col("f_status"))
+             .otherwise(F.lit(None).cast("int")))
+
+        # results is batch-sized (politeness budget) — collect ONCE; all
+        # per-row outcomes, lineage events and the upsert delta derive from
+        # it driver-side, turning the frontier merge into a broadcast join.
+        result_rows = (results
+                       .select("batch_idx", "url", "num_errors", "status_out",
+                               "error_code", "error_message")
+                       .collect())
+
+        # --- ordered insert list: robots enqueues then discovered links -----
+        # (robots URL enqueued BEFORE the page's own links — Crawler.js:463-465)
+        links_all = links_df.withColumn("source_order", F.lit(1))
+        if robots_inserts:
+            robots_pdf = pd.DataFrame(
+                [{"batch_idx": bi, "link_idx": 0, "url": u} for bi, u in robots_inserts])
+            robots_links = self.spark.createDataFrame(robots_pdf, schema=T.StructType([
+                T.StructField("batch_idx", T.LongType()),
+                T.StructField("link_idx", T.LongType()),
+                T.StructField("url", T.StringType()),
+            ])).withColumn("source_order", F.lit(0))
+            links_all = robots_links.unionByName(links_all)
+
+        n_links = links_all.count()
+        stats.links_found = int(n_links) - len(robots_inserts)
+
+        # first occurrence within the cycle wins (unique-index semantics, J1)
+        w_dup = Window.partitionBy("url").orderBy("batch_idx", "source_order", "link_idx")
+        links_unique = (links_all
+                        .withColumn("_rn", F.row_number().over(w_dup))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn"))
+
+        # anti-join against the seen set (= the whole frontier), Bloom-prefiltered
+        seen = self.frontier.select("url")
+        if self._bloom is not None:
+            links_unique = self._bloom.prefilter(self.spark, links_unique, "url", seen)
+        else:
+            links_unique = links_unique.join(seen, "url", "left_anti")
+
+        # seq assignment: window ONLY over the cycle's new links (bounded)
+        w_seq = Window.partitionBy(F.lit(0)).orderBy("batch_idx", "source_order", "link_idx")
+        t_insert = (F.lit(self.cycle_time)
+                    + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
+        if cfg.order_mode == "fifo":
+            nft = F.lit(0.0)
+        else:
+            nft = t_insert - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS)
+        new_rows = (links_unique
+                    .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
+                    .withColumn("url_hash", SF.url_hash(F.col("url")))
+                    .withColumn("host", SF.hostname_udf("url"))
+                    .withColumn("status_code", F.lit(None).cast("int"))
+                    .withColumn("error_code", F.lit(None).cast("string"))
+                    .withColumn("error_message", F.lit(None).cast("string"))
+                    .withColumn("num_errors", F.lit(0))
+                    .withColumn("next_fetch_time", nft)
+                    .select(*[f.name for f in FRONTIER_SCHEMA]))
+        new_rows = new_rows.persist()
+        n_new = new_rows.count()
+        stats.links_new = int(n_new)
+        stats.dedup_hits = int(n_links - n_new)
+        self.max_seq += n_new
+        if self._bloom is not None and n_new:
+            self._bloom.add(self.spark, new_rows.select("url"))
+
+        # --- upsert merge (S6: MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT)
+        upd_pdf = pd.DataFrame(
+            [{"u_url": r["url"], "batch_idx": r["batch_idx"],
+              "status_out": r["status_out"], "u_error_code": r["error_code"],
+              "u_error_message": r["error_message"]} for r in result_rows])
+        upd = self.spark.createDataFrame(upd_pdf, schema=T.StructType([
+            T.StructField("u_url", T.StringType()),
+            T.StructField("batch_idx", T.LongType()),
+            T.StructField("status_out", T.IntegerType()),
+            T.StructField("u_error_code", T.StringType()),
+            T.StructField("u_error_message", T.StringType()),
+        ]))
+        t_row = (F.lit(self.cycle_time)
+                 + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
+        merged = self.frontier.join(
+            F.broadcast(upd), self.frontier.url == upd.u_url, "left")
+        has_upd = F.col("u_url").isNotNull()
+        is_err = has_upd & F.col("u_error_code").isNotNull()
+        new_num_errors = (F.when(is_err, F.col("num_errors") + 1)
+                           .when(has_upd, F.lit(0))
+                           .otherwise(F.col("num_errors")))
+        if cfg.order_mode == "fifo":
+            # FifoUrlList: items are never re-queued (README.md:254-255)
+            new_nft = F.when(has_upd, F.lit(math.inf)).otherwise(F.col("next_fetch_time"))
+        else:
+            new_nft = (
+                F.when(is_err, t_row + F.lit(cfg.initial_retry_ms)
+                       * F.pow(F.lit(2.0), new_num_errors.cast("double") - F.lit(1.0)))
+                 .when(has_upd & F.col("status_out").isNotNull(),
+                       t_row + F.lit(cfg.recrawl_ms))
+                 .when(has_upd,  # null status + null error → re-crawl now
+                       t_row - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
+                 .otherwise(F.col("next_fetch_time")))
+        merged = (merged
+                  .withColumn("status_code",
+                              F.when(has_upd, F.col("status_out")).otherwise(F.col("status_code")))
+                  .withColumn("error_code",
+                              F.when(has_upd, F.col("u_error_code")).otherwise(F.col("error_code")))
+                  .withColumn("error_message",
+                              F.when(has_upd, F.col("u_error_message")).otherwise(F.col("error_message")))
+                  .withColumn("num_errors", new_num_errors)
+                  .withColumn("next_fetch_time", new_nft)
+                  .select(*[f.name for f in FRONTIER_SCHEMA]))
+
+        self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
+        kernel_out.unpersist()
+        new_rows.unpersist()
+
+        # --- lineage / metrics (S7, A5) -------------------------------------
+        self._log_cycle(result_rows, stats)
+
+        self.cycle_time += cfg.interval_ms * len(batch)
+        self.cycle_id += 1
+        if self.cycle_id % cfg.checkpoint_every == 0:
+            self._commit_snapshot()
+        return stats
+
+    def crawl(self, max_cycles: int | None = None) -> list[CycleStats]:
+        """Run micro-cycles until the frontier is exhausted (urllistcomplete)
+        or max_cycles is hit. Final state is always committed."""
+        out = []
+        while max_cycles is None or len(out) < max_cycles:
+            stats = self.run_cycle()
+            out.append(stats)
+            if stats.popped == 0:
+                break
+        self._commit_snapshot()
+        return out
+
+    # ------------------------------------------------------------------
+    # pop (W1/W2): salted host-bucket window rank + global top-B
+    # ------------------------------------------------------------------
+    def _pop_batch(self) -> list[dict]:
+        cfg = self.config
+        if cfg.order_mode == "fifo":
+            due = self.frontier.filter(
+                F.col("status_code").isNull() & F.col("error_code").isNull()
+                & ~F.col("next_fetch_time").eqNullSafe(F.lit(math.inf)))
+            order = [F.col("seq")]
+        else:
+            due = self.frontier.filter(F.col("next_fetch_time") < F.lit(self.cycle_time))
+            order = [F.col("next_fetch_time"), F.col("seq")]
+        if cfg.per_host_cap is not None:
+            w = Window.partitionBy("host").orderBy(*order)
+            due = (due.withColumn("_hrn", F.row_number().over(w))
+                      .filter(F.col("_hrn") <= cfg.per_host_cap).drop("_hrn"))
+        rows = (due.orderBy(*order).limit(cfg.budget)
+                   .select("url", "seq", "num_errors", "next_fetch_time")
+                   .collect())
+        return [r.asDict() for r in rows]
+
+    # ------------------------------------------------------------------
+    # robots layer (S5/F2/F3/T6)
+    # ------------------------------------------------------------------
+    def _robots_dim_df(self) -> DataFrame:
+        rows = [
+            {"robots_key": k, "robots_txt": e.txt, "robots_deny_status": e.deny_status,
+             "robots_req_err": e.req_err}
+            for k, e in self.robots_cache.items()
+        ]
+        schema = T.StructType([
+            T.StructField("robots_key", T.StringType()),
+            T.StructField("robots_txt", T.StringType()),
+            T.StructField("robots_deny_status", T.IntegerType()),
+            T.StructField("robots_req_err", T.BooleanType()),
+        ])
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def _refresh_robots(self, batch: list[dict]) -> list[tuple[int, str]]:
+        """Fetch robots.txt for batch hosts with cache-miss/TTL semantics
+        (Crawler.js:445-502). Returns the ordered frontier enqueues of the
+        robots URLs themselves (Crawler.js:463-465)."""
+        cfg = self.config
+        wanted: list[tuple[int, str]] = []
+        seen_keys = set()
+        for idx, row in enumerate(batch):
+            key = urls_mod.robots_url(row["url"])
+            if key in seen_keys:
+                continue
+            entry = self.robots_cache.get(key)
+            if entry is not None and (entry.fetched_at + cfg.robots_cache_ttl_ms
+                                      > self.cycle_time):
+                continue
+            seen_keys.add(key)
+            wanted.append((idx, key))
+        if not wanted:
+            return []
+
+        fetched = self._fetch_with_redirects([k for _, k in wanted])
+        for _, key in wanted:
+            resp = fetched.get(key)
+            if resp is None:
+                self.robots_cache[key] = _RobotsEntry(None, None, True, self.cycle_time)
+                continue
+            status, body = resp
+            if status < 400:
+                txt = (bytes(body) if body is not None else b"").decode(
+                    "utf-8", errors="replace")
+                self.robots_cache[key] = _RobotsEntry(txt, None, False, self.cycle_time)
+            elif status in (404, 410) or (status == 500 and cfg.robots_ignore_server_error):
+                self.robots_cache[key] = _RobotsEntry("", None, False, self.cycle_time)
+            else:
+                self.robots_cache[key] = _RobotsEntry(None, status, False, self.cycle_time)
+        return wanted
+
+    def _fetch_with_redirects(self, urls: list[str]) -> dict:
+        """Resolve each URL to a final (status, body), following 3xx up to
+        max_redirect_hops (robots fetch uses followRedirect=true —
+        Crawler.js:380-412). Small driver-side dimension fetch."""
+        result: dict[str, tuple[int, bytes] | None] = {}
+        pending = {u: u for u in urls}  # original → current
+        for _ in range(self.config.max_redirect_hops):
+            if not pending:
+                break
+            current = list(set(pending.values()))
+            rows = (self.web_pages
+                    .filter(F.col("url").isin(current))
+                    .select("url", "status_code", "body", "location").collect())
+            by_url = {r["url"]: r for r in rows}
+            nxt: dict[str, str] = {}
+            for orig, cur in pending.items():
+                r = by_url.get(cur)
+                if r is None:
+                    result[orig] = None
+                elif 300 <= r["status_code"] < 400 and r["location"]:
+                    nxt[orig] = urls_mod.resolve(cur, r["location"])
+                else:
+                    result[orig] = (int(r["status_code"]), r["body"])
+            pending = nxt
+        for orig in pending:
+            result[orig] = None  # redirect loop → request error
+        return result
+
+    # ------------------------------------------------------------------
+    # lineage / metrics
+    # ------------------------------------------------------------------
+    def _log_cycle(self, result_rows: list, stats: CycleStats) -> None:
+        """Buffer lineage events + per-cycle metrics driver-side (result_rows
+        is politeness-budget-bounded); flushed as parquet at each snapshot
+        commit so checkpoint/resume carries the lineage too."""
+        for r in result_rows:
+            self._log_buffer.append({
+                "cycle_id": self.cycle_id, "batch_idx": r["batch_idx"],
+                "event": "crawledurl", "url": r["url"],
+                "status_code": r["status_out"], "error_code": r["error_code"],
+                "detail": r["error_message"],
+            })
+        stats.robots_denied = sum(
+            1 for r in result_rows if r["error_code"] == "ROBOTS_NOT_ALLOWED")
+        stats.errors = sum(1 for r in result_rows if r["error_code"] is not None)
+        self._metrics_buffer.append({
+            "cycle_id": self.cycle_id,
+            "popped": stats.popped,
+            "links_found": stats.links_found,
+            "links_new": stats.links_new,
+            "dedup_hits": stats.dedup_hits,
+            "robots_denied": stats.robots_denied,
+            "errors": stats.errors,
+            "cycle_time": self.cycle_time,
+        })
+
+    def _flush_logs(self) -> None:
+        if self._log_buffer:
+            self.crawl_log.append(self.spark.createDataFrame(
+                pd.DataFrame(self._log_buffer), schema=CRAWL_LOG_SCHEMA))
+            self._log_buffer = []
+        if self._metrics_buffer:
+            self.metrics_log.append(
+                self.spark.createDataFrame(pd.DataFrame(self._metrics_buffer)))
+            self._metrics_buffer = []
+
+    # ------------------------------------------------------------------
+    # inspection helpers for tests
+    # ------------------------------------------------------------------
+    def frontier_pdf(self) -> pd.DataFrame:
+        return (self.frontier.orderBy("seq")
+                .toPandas())
+
+    def seen_urls(self) -> set:
+        return {r["url"] for r in self.frontier.select("url").collect()}
+
+
+def _make_handler_kernel(registry: HandlerRegistry):
+    """Vectorized UDTF: one mapInPandas pass runs redirect extraction and ALL
+    matching handlers per page (shared parse — reference O8). Emits
+    (batch_idx, link_idx, link, handlers_error) rows."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out_bi, out_li, out_link, out_err = [], [], [], []
+            for bi, url, status, ct, location, body in zip(
+                    pdf["batch_idx"], pdf["url"], pdf["f_status"],
+                    pdf["f_content_type"], pdf["f_location"], pdf["f_body"]):
+                if 300 <= status < 400:
+                    # redirect: discovered = [resolve(url, location)] —
+                    # Crawler.js:246-249 (no handlers fired)
+                    target = urls_mod.resolve(url, location or "")
+                    out_bi.append(bi); out_li.append(0)
+                    out_link.append(target); out_err.append(None)
+                    continue
+                norm_ct = urls_mod.normalize_content_type(ct, url)
+                raw = bytes(body) if body is not None else b""
+                try:
+                    links = registry.fire(raw, url, norm_ct)
+                except HandlersError as exc:
+                    out_bi.append(bi); out_li.append(0)
+                    out_link.append(None); out_err.append(str(exc))
+                    continue
+                for li, link in enumerate(links):
+                    out_bi.append(bi); out_li.append(li)
+                    out_link.append(link); out_err.append(None)
+            yield pd.DataFrame({
+                "batch_idx": pd.Series(out_bi, dtype="int64"),
+                "link_idx": pd.Series(out_li, dtype="int64"),
+                "link": pd.Series(out_link, dtype="object"),
+                "handlers_error": pd.Series(out_err, dtype="object"),
+            })
+
+    return kernel
