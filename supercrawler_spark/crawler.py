@@ -37,7 +37,23 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from dataclasses import dataclass, field
+
+_PROFILE = bool(os.environ.get("SC_PROFILE"))
+
+
+class _Phase:
+    """Per-cycle phase timer (enabled via SC_PROFILE=1)."""
+
+    def __init__(self):
+        self.t = time.time()
+
+    def mark(self, label: str) -> None:
+        if _PROFILE:
+            now = time.time()
+            print(f"    [{label}] {now - self.t:.2f}s", flush=True)
+            self.t = now
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -102,6 +118,10 @@ class CrawlConfig:
     initial_retry_ms: float = HOUR_MS    # DbUrlList.js:81
     recrawl_ms: float = YEAR_MS          # DbUrlList.js:7,36
     checkpoint_every: int = 8            # parquet snapshot cadence (cycles)
+    adaptive_exec: bool = False          # AQE per cycle: budget-bounded
+    # micro-cycle plans pay AQE's re-optimization overhead without gaining
+    # from it (measured 3x slower at sandbox scale); enable for huge budgets
+    # where skew-join splitting on hot hosts matters.
     use_bloom: bool = False              # Bloom-prefiltered dedup (scale path)
     bloom_partitions: int = 32
     bloom_capacity: int = 1 << 20
@@ -134,6 +154,8 @@ class SparkCrawler:
                  registry: HandlerRegistry | None = None):
         self.spark = spark
         self.config = config or CrawlConfig()
+        spark.conf.set("spark.sql.adaptive.enabled",
+                       "true" if self.config.adaptive_exec else "false")
         self.registry = registry if registry is not None else default_registry()
         self.web_pages = web_pages
         self.store = SnapshotStore(os.path.join(workdir, "snapshots"))
@@ -244,7 +266,9 @@ class SparkCrawler:
         Crawler.js:196-201)."""
         cfg = self.config
         stats = CycleStats(cycle_id=self.cycle_id)
+        ph = _Phase()
         batch = self._pop_batch()
+        ph.mark('pop')
         stats.popped = len(batch)
         if not batch:
             stats.events.append(("urllistempty", None))
@@ -258,20 +282,22 @@ class SparkCrawler:
         robots_inserts: list[tuple[int, str]] = []  # (batch_idx, robots_url)
         if cfg.robots_enabled:
             robots_inserts = self._refresh_robots(batch)
+        ph.mark('robots')
 
         batch_pdf = pd.DataFrame([
-            {"batch_idx": idx, "url": r["url"], "num_errors": int(r["num_errors"] or 0)}
+            {"batch_idx": idx, "url": r["url"], "num_errors": int(r["num_errors"] or 0),
+             "robots_key": urls_mod.robots_url(r["url"])}
             for idx, r in enumerate(batch)
         ])
         batch_df = self.spark.createDataFrame(batch_pdf, schema=T.StructType([
             T.StructField("batch_idx", T.LongType()),
             T.StructField("url", T.StringType()),
             T.StructField("num_errors", T.IntegerType()),
+            T.StructField("robots_key", T.StringType()),
         ]))
 
         if cfg.robots_enabled:
             robots_dim = self._robots_dim_df()
-            batch_df = batch_df.withColumn("robots_key", SF.robots_url_udf("url"))
             batch_df = batch_df.join(F.broadcast(robots_dim), "robots_key", "left")
             allowed_udf = SF.make_robots_allowed_udf(cfg.user_agent)
             batch_df = batch_df.withColumn(
@@ -355,10 +381,12 @@ class SparkCrawler:
         # results is batch-sized (politeness budget) — collect ONCE; all
         # per-row outcomes, lineage events and the upsert delta derive from
         # it driver-side, turning the frontier merge into a broadcast join.
+        ph.mark('plan2')
         result_rows = (results
                        .select("batch_idx", "url", "num_errors", "status_out",
                                "error_code", "error_message")
                        .collect())
+        ph.mark('results_collect')
 
         # --- ordered insert list: robots enqueues then discovered links -----
         # (robots URL enqueued BEFORE the page's own links — Crawler.js:463-465)
@@ -373,7 +401,9 @@ class SparkCrawler:
             ])).withColumn("source_order", F.lit(0))
             links_all = robots_links.unionByName(links_all)
 
+        ph.mark('plan')
         n_links = links_all.count()
+        ph.mark('links_count')
         stats.links_found = int(n_links) - len(robots_inserts)
 
         # first occurrence within the cycle wins (unique-index semantics, J1)
@@ -401,7 +431,9 @@ class SparkCrawler:
         new_rows = (links_unique
                     .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
                     .withColumn("url_hash", SF.url_hash(F.col("url")))
-                    .withColumn("host", SF.hostname_udf("url"))
+                    # JVM-side host extraction (handler links are already
+                    # canonicalized to lowercase hosts)
+                    .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
                     .withColumn("status_code", F.lit(None).cast("int"))
                     .withColumn("error_code", F.lit(None).cast("string"))
                     .withColumn("error_message", F.lit(None).cast("string"))
@@ -410,6 +442,7 @@ class SparkCrawler:
                     .select(*[f.name for f in FRONTIER_SCHEMA]))
         new_rows = new_rows.persist()
         n_new = new_rows.count()
+        ph.mark('new_count')
         stats.links_new = int(n_new)
         stats.dedup_hits = int(n_links - n_new)
         self.max_seq += n_new
@@ -434,13 +467,15 @@ class SparkCrawler:
             F.broadcast(upd), self.frontier.url == upd.u_url, "left")
         has_upd = F.col("u_url").isNotNull()
         is_err = has_upd & F.col("u_error_code").isNotNull()
-        new_num_errors = (F.when(is_err, F.col("num_errors") + 1)
-                           .when(has_upd, F.lit(0))
-                           .otherwise(F.col("num_errors")))
         if cfg.order_mode == "fifo":
-            # FifoUrlList: items are never re-queued (README.md:254-255)
+            # FifoUrlList has no numErrors/retry concept (lib/FifoUrlList.js)
+            new_num_errors = F.col("num_errors")
+            # items are never re-queued (README.md:254-255)
             new_nft = F.when(has_upd, F.lit(math.inf)).otherwise(F.col("next_fetch_time"))
         else:
+            new_num_errors = (F.when(is_err, F.col("num_errors") + 1)
+                               .when(has_upd, F.lit(0))
+                               .otherwise(F.col("num_errors")))
             new_nft = (
                 F.when(is_err, t_row + F.lit(cfg.initial_retry_ms)
                        * F.pow(F.lit(2.0), new_num_errors.cast("double") - F.lit(1.0)))
@@ -461,6 +496,7 @@ class SparkCrawler:
                   .select(*[f.name for f in FRONTIER_SCHEMA]))
 
         self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
+        ph.mark('checkpoint')
         kernel_out.unpersist()
         new_rows.unpersist()
 

@@ -1,0 +1,168 @@
+"""End-to-end crawl equivalence vs the pure-Python reference simulator.
+
+north_rule: identical crawl ordering and URL-seen set under the same seed
+list and politeness budget; resumable from checkpoint.
+"""
+
+import math
+import tempfile
+
+import pytest
+
+from supercrawler_spark import fixtures
+from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+from supercrawler_spark.oracle import OracleConfig, OracleCrawler, web_pages_dict
+
+
+@pytest.fixture(scope="module")
+def small_web(spark):
+    seeds, web, images = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    return seeds, web, spark.createDataFrame(web)
+
+
+def run_pair(spark, seeds, web_pdf, web_df, budget, mode, max_cycles=100,
+             **kw):
+    wd = tempfile.mkdtemp()
+    cfg = CrawlConfig(budget=budget, order_mode=mode, **kw)
+    cr = SparkCrawler(spark, web_df, wd, cfg)
+    cr.seed(list(seeds["url"]))
+    cr.crawl(max_cycles=max_cycles)
+    ora = OracleCrawler(web_pages_dict(web_pdf),
+                        OracleConfig(budget=budget, order_mode=mode, **kw))
+    ora.seed(list(seeds["url"]))
+    res = ora.crawl(max_rounds=max_cycles)
+    return cr, res
+
+
+def assert_parity(cr, res, check_order=True):
+    if check_order:
+        assert cr.crawl_order == res.crawl_order
+    assert cr.seen_urls() == res.seen_urls()
+    eng = {}
+    for _, r in cr.frontier_pdf().iterrows():
+        s = r["status_code"]
+        s = None if (s is None or (isinstance(s, float) and math.isnan(s))) else int(s)
+        eng[r["url"]] = (s, r["error_code"], int(r["num_errors"]))
+    ora = {u: (st, ec, ne) for u, (st, ec, em, ne) in res.final_states().items()}
+    assert eng == ora
+
+
+def test_batch_budget_parity(spark, small_web):
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=8, mode="random")
+    assert_parity(cr, res)
+
+
+def test_fifo_parity(spark, small_web):
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=4, mode="fifo")
+    assert_parity(cr, res)
+
+
+def test_sequential_reference_order(spark):
+    """budget=1 == the reference's one-URL-at-a-time loop exactly."""
+    seeds, web_pdf, images = fixtures.make_web_fixture(n_hosts=1, pages_per_host=3)
+    web_df = spark.createDataFrame(web_pdf)
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=1, mode="random",
+                       max_cycles=60)
+    assert_parity(cr, res)
+
+
+def test_per_host_cap_parity(spark, small_web):
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=6, mode="random",
+                       per_host_cap=2)
+    assert_parity(cr, res)
+
+
+def test_robots_disabled_parity(spark, small_web):
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=8, mode="random",
+                       robots_enabled=False)
+    assert_parity(cr, res)
+    # with robots off, /private/ pages get crawled
+    assert any("/private/" in u for u in cr.seen_urls()
+               if not cr.frontier_pdf().empty)
+
+
+def test_robots_policy_matrix(spark):
+    """6 hosts cycle through robots status 200/200/404/500/600/410
+    (fixtures) — Crawler.js:469-491 policy."""
+    seeds, web_pdf, images = fixtures.make_web_fixture(n_hosts=6, pages_per_host=2)
+    web_df = spark.createDataFrame(web_pdf)
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=16, mode="random")
+    assert_parity(cr, res)
+    pdf = cr.frontier_pdf()
+    by_host = {}
+    for _, r in pdf.iterrows():
+        if r["url"].endswith("/index.html"):
+            by_host[r["url"].split("/")[2]] = r["error_code"]
+    # robots 200/404/410 hosts crawl fine; 500 (no ignore flag) and 600 deny
+    assert by_host["host0.example"] is None
+    assert by_host["host2.example"] is None          # 404 → allow-all
+    assert by_host["host5.example"] is None          # 410 → allow-all
+    assert by_host["host3.example"] == "ROBOTS_NOT_ALLOWED"  # 500
+    assert by_host["host4.example"] == "ROBOTS_NOT_ALLOWED"  # 600
+
+
+def test_robots_ignore_server_error(spark):
+    seeds, web_pdf, images = fixtures.make_web_fixture(n_hosts=6, pages_per_host=2)
+    web_df = spark.createDataFrame(web_pdf)
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=16, mode="random",
+                       robots_ignore_server_error=True)
+    assert_parity(cr, res)
+    pdf = cr.frontier_pdf()
+    host3 = {r["url"]: r["error_code"] for _, r in pdf.iterrows()
+             if "host3.example" in r["url"]}
+    assert host3["http://host3.example/index.html"] is None
+
+
+def test_resume_equals_uninterrupted(spark, small_web):
+    seeds, web_pdf, web_df = small_web
+    wd = tempfile.mkdtemp()
+    cfg = CrawlConfig(budget=8, order_mode="random", checkpoint_every=1)
+    c1 = SparkCrawler(spark, web_df, wd, cfg)
+    c1.seed(list(seeds["url"]))
+    c1.crawl(max_cycles=3)
+    c2 = SparkCrawler(spark, web_df, wd, cfg)
+    assert c2.resume()
+    c2.crawl(max_cycles=100)
+
+    wd3 = tempfile.mkdtemp()
+    c3 = SparkCrawler(spark, web_df, wd3, cfg)
+    c3.seed(list(seeds["url"]))
+    c3.crawl(max_cycles=100)
+    cols = ["url", "status_code", "error_code", "num_errors", "seq"]
+    a = c2.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
+    b = c3.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_image_payload_invariants(spark, small_web):
+    """Crawled image bodies decode to pixels matching the images fixture:
+    PSNR >= 40 dB lossy / exact lossless + caption equality (input_hint)."""
+    import numpy as np
+
+    from supercrawler_spark import imaging
+
+    seeds, web_pdf, web_df = small_web
+    _, _, images = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    wd = tempfile.mkdtemp()
+    cr = SparkCrawler(spark, web_df, wd, CrawlConfig(budget=8))
+    cr.seed(list(seeds["url"]))
+    cr.crawl(max_cycles=100)
+    crawled = {u for u in cr.seen_urls() if "/media/photo-" in u}
+    assert crawled, "gallery links should have been discovered"
+    img_by_id = {r["image_id"]: r for _, r in images.iterrows()}
+    rows = web_pdf[web_pdf["body_image_id"].notna() & web_pdf["url"].isin(crawled)]
+    assert len(rows) > 0
+    for _, r in rows.iterrows():
+        fix = img_by_id[r["body_image_id"]]
+        got_px, w, h, fmt = imaging.decode_image(bytes(r["body"]))
+        ref_px = imaging.synth_pixels(fix["image_id"], fix["w"], fix["h"])
+        assert (w, h) == (fix["w"], fix["h"])
+        if fmt == "png":
+            assert np.array_equal(got_px, ref_px)
+        else:
+            assert imaging.psnr(got_px, ref_px) >= 40.0
+        assert fix["caption"] == f"synthetic caption {int(fix['image_id'][4:])} for {fix['image_id']}"
