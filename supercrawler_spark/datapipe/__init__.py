@@ -1,0 +1,13 @@
+"""Training-data pipeline operators for a 100 TB crawl corpus.
+
+Beyond the reference's crawl operators, these are the first-class
+data-processing stages a large-scale training pipeline runs over the crawled
+corpus: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting), and multimodal binary-column plumbing.
+
+Everything is declarative DataFrame ops where possible (JVM-side, Catalyst-
+optimizable); Arrow-batched pandas UDFs only where array math (SimHash,
+random-hyperplane LSH, image decode) genuinely needs numpy.
+"""

@@ -1,0 +1,208 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+- exact + fingerprint dedup: hash-groupBy (map-side partial agg, one shuffle
+  on the hash — the cheapest possible full-corpus dedup)
+- MinHash: explode(shingles) → groupBy(doc) partial-agg mins; K permutations
+  via K md5-salted hash columns — ALL JVM-side expressions (md5/conv), no
+  Python, so the signature build is one exploded aggregation
+- LSH banding: band signature = struct of the band's minhashes; candidate
+  pairs = self-join on (band_idx, band_sig) — only bucket collisions shuffle,
+  never the O(n^2) pair space
+- SimHash: Arrow-batched pandas UDF (bit math over token hashes, numpy)
+- verification joins (Jaccard on candidates) stay sparse: candidates only
+
+The md5→bigint trick (`conv(substring(md5(x),1,15),16,10)`) is used instead
+of xxhash64/murmur3 where an ANSI-SQL oracle twin must produce identical
+values in DuckDB (`('0x'||substr(md5(x),1,15))::BIGINT`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import fingerprint, tokens
+
+
+def md5_long(col) -> "F.Column":
+    """Deterministic 60-bit hash with an exact DuckDB twin."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct content hash with
+    the keeper (min id) and duplicate count."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .withColumn("n_dupes", F.col("n_copies") - F.lit(1)))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Normalized-fingerprint dedup (formatting-noise tolerant)."""
+    return (df
+            .groupBy(fingerprint(F.col(text_col)).alias("fp"))
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def word_shingles(col, n: int = 3) -> "F.Column":
+    """n-gram (word shingle) array of lowercased text — built with JVM
+    higher-order functions (transform over an index sequence), no Python."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)])))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       shingle_n: int = 2) -> DataFrame:
+    """MinHash signature per document: explode shingles once, compute K
+    salted md5 hashes as columns, take per-doc mins — a single partial-agg
+    shuffle. Returns (id, minhash_0..K-1)."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
+         .alias("shingle"))
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
+         .alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      bands: int = 4, shingle_n: int = 2) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing ANY band of
+    their MinHash signature. Only bucket collisions are joined. Returns
+    (id_a, id_b) with id_a < id_b, distinct."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  *[c.alias(f"h{r}") for r, c in enumerate(cols)]))
+    banded = sig.select(F.col(id_col),
+                        F.explode(F.array(*band_cols)).alias("band_sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the LSH verify step).
+    Sparse: joins only the candidate pairs back to the corpus."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+                    .alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 4)
+         .alias("jaccard"))
+
+
+def token_jaccard_adjacent(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Unigram-set Jaccard of each doc against the next doc id — a cheap
+    O(n) similarity screen with an exact SQL oracle twin (demonstrates the
+    array set-ops path)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.array_distinct(tokens(F.col(text_col))).alias("tk"))
+    a = toks.alias("a")
+    b = toks.select((F.col("id") - 1).alias("id"), F.col("tk").alias("tk_b")).alias("b")
+    j = a.join(b, "id")
+    inter = F.size(F.array_intersect("tk", "tk_b"))
+    union = F.size(F.array_union("tk", "tk_b"))
+    return j.select(F.col("id").alias("doc_id"),
+                    F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 4)
+                     .alias("jaccard_next"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (numpy pandas UDF — 64-bit sign-sum isn't SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens: per-token 64-bit hash
+    (blake2b for determinism across processes), sign-sum per bit, sign →
+    bit. Near-dup docs differ in few bits (hamming distance)."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            out[i] = 0
+            continue
+        toks = str(text).lower().split()
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for tok in toks:
+            h = np.uint64(int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == np.uint64(1), 1, -1)
+        val = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                val |= 1 << bit
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 16-bit
+    chunks (a pair within hamming<=3 of 64 bits must agree on at least one
+    of 4 16-bit chunks — pigeonhole), so no O(n^2) comparison."""
+    sig = simhash(df, text_col, id_col)
+    chunks = [(F.shiftrightunsigned(F.col("simhash"), 16 * c)
+               .bitwiseAND(F.lit(0xFFFF))).alias("chunk_val")
+              for c in range(4)]
+    exploded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[F.struct(F.lit(c).alias("chunk_idx"),
+                                     chunks[c].alias("chunk_val"))
+                            for c in range(4)])).alias("ch"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (a.join(b, (F.col("a.ch") == F.col("b.ch"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.simhash").alias("sh_a"),
+                      F.col("b.simhash").alias("sh_b"))
+              .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,130 @@
+"""Multimodal (image) column plumbing over mapInPandas.
+
+Images travel as opaque ``binary`` columns with typed metadata — exactly the
+reference's opaque Buffer body (/root/reference/lib/Crawler.js:335-339).
+The decode step uses the deterministic numpy codec from
+supercrawler_spark.imaging (the container has no PIL/libjpeg — swapping the
+two codec calls for PIL is the only production change; schema, partitioning,
+UDF signature and Arrow batch shape are the real thing and tested).
+
+Stages:
+- decode_features: binary → (w, h, fmt, phash, mean_luma) per row
+- verify_against_reference: decoded-pixel PSNR vs the expected pixels +
+  caption equality (the BASELINE.json per-row invariant)
+- resize/frame-sample style derivations: block-mean thumbnail vector
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import imaging
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("mean_luma", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def decode_features(df: DataFrame, id_col: str = "image_id",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """binary → typed features, one vectorized mapInPandas pass.
+    Corrupt payloads yield a decode_error row instead of failing the stage
+    (a 100 TB crawl always contains corrupt bytes)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, w, h, fmt = imaging.decode_image(
+                        bytes(data) if data is not None else b"")
+                    luma = float(np.mean(
+                        px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])))
+                    rows.append((iid, w, h, fmt, imaging.phash64(px),
+                                 round(luma, 4), None))
+                except Exception as exc:
+                    rows.append((iid, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA])
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+VERIFY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("psnr_db", T.DoubleType()),
+    T.StructField("pixels_ok", T.BooleanType()),
+    T.StructField("caption_ok", T.BooleanType()),
+])
+
+
+def verify_against_reference(df: DataFrame, id_col: str = "image_id",
+                             bytes_col: str = "bytes",
+                             caption_col: str = "caption",
+                             min_psnr_db: float = 40.0) -> DataFrame:
+    """The BASELINE.json per-row invariant as a stage: decoded pixels
+    allclose vs the deterministic reference pixels (PSNR >= 40 dB lossy /
+    exact lossless) + caption equality."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data, cap in zip(pdf[id_col], pdf[bytes_col], pdf[caption_col]):
+                try:
+                    px, w, h, fmt = imaging.decode_image(bytes(data))
+                    ref = imaging.synth_pixels(iid, w, h)
+                    p = imaging.psnr(ref, px)
+                    ok = bool(np.array_equal(ref, px)) if fmt == "png" \
+                        else bool(p >= min_psnr_db)
+                    expected_cap = (
+                        f"synthetic caption {int(iid.split('-')[1])} for {iid}")
+                    rows.append((iid, None if p == float("inf") else round(p, 2),
+                                 ok, cap == expected_cap))
+                except Exception:
+                    rows.append((iid, None, False, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in VERIFY_SCHEMA])
+
+    return (df.select(id_col, bytes_col, caption_col)
+              .mapInPandas(kernel, schema=VERIFY_SCHEMA))
+
+
+def thumbnail_vectors(df: DataFrame, id_col: str = "image_id",
+                      bytes_col: str = "bytes", side: int = 4) -> DataFrame:
+    """Resize stage: block-mean grayscale thumbnail as array<float> —
+    the embedding-ish derivation used for visual near-dup search."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("thumb", T.ArrayType(T.FloatType())),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, thumbs = [], []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, w, h, fmt = imaging.decode_image(bytes(data))
+                except Exception:
+                    ids.append(iid); thumbs.append(None)
+                    continue
+                gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                yi = (np.arange(h) * side // h).clip(0, side - 1)
+                xi = (np.arange(w) * side // w).clip(0, side - 1)
+                acc = np.zeros((side, side))
+                cnt = np.zeros((side, side))
+                np.add.at(acc, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
+                np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+                ids.append(iid)
+                thumbs.append((acc / np.maximum(cnt, 1)).flatten()
+                              .astype(np.float32).tolist())
+            yield pd.DataFrame({"image_id": ids, "thumb": thumbs})
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=schema)

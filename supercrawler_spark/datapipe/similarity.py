@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: JVM-side higher-order functions (zip_with +
+  aggregate) — the exact baseline, one shuffle (the ranking window), with
+  an ANSI-SQL oracle twin (DuckDB list_cosine_similarity).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures via an
+  Arrow-batched pandas UDF (numpy matmul per batch), candidates restricted
+  to bucket collisions (hamming-adjacent buckets optional) — the scale path:
+  at 10^10 rows the cross product is impossible; bucket joins shuffle only
+  collisions.
+- embedding near-dup pairs: cosine >= threshold over bucketed candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a) -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> "F.Column":
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self).
+    queries is expected to be small → broadcast; ranking via window over
+    query partition."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("q_id") != F.col("n_id"))
+              .withColumn("cos",
+                          F.round(cosine(F.col("q_vec"), F.col("n_vec")),
+                                  round_to)))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.99,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold), id_a < id_b."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")),
+                                        round_to))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Signature UDF: sign pattern of the vector against n_planes seeded
+    Gaussian hyperplanes, packed into an int. Deterministic across workers
+    (planes derived from the seed inside each batch)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return signature
+
+
+def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, n_planes: int = 12, n_tables: int = 4,
+                 round_to: int = 4) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any of n_tables
+    independent hyperplane tables; exact cosine re-rank on candidates only.
+    Recall tested against brute_force_topk in tests/test_datapipe.py."""
+    sigs = [make_hyperplane_udf(dim, n_planes, seed=42 + 1000 * t)
+            for t in range(n_tables)]
+
+    def with_buckets(frame, prefix):
+        out = frame
+        for t, udf in enumerate(sigs):
+            out = out.withColumn(f"{prefix}b{t}", udf(F.col(vec_col)))
+        return out
+
+    q = with_buckets(queries, "q").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*[F.struct(F.lit(t).alias("t"),
+                                     F.col(f"qb{t}").alias("b"))
+                            for t in range(len(sigs))])).alias("bucket"))
+    c = with_buckets(df, "c").select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.explode(F.array(*[F.struct(F.lit(t).alias("t"),
+                                     F.col(f"cb{t}").alias("b"))
+                            for t in range(len(sigs))])).alias("bucket"))
+    cand = (q.join(c, "bucket")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "q_vec", "n_id", "n_vec")
+             .distinct())
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))

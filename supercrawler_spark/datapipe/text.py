@@ -1,0 +1,108 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All four are pure Spark column expressions (whole-stage codegen, no Python),
+so they scale linearly with the corpus and have exact ANSI-SQL twins for the
+DuckDB oracle. Tokenization convention everywhere: lowercase, split on
+whitespace runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["la", "el", "de", "que", "los"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish markers
+}
+
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of lowercased text (empty-string safe)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def _count_token(col, word: str) -> Column:
+    """Occurrences of a whole token in lowercased text, via array filter
+    (exact token match, not substring)."""
+    return F.size(F.filter(tokens(col), lambda t: t == F.lit(word)))
+
+
+def lang_score(col, lang: str) -> Column:
+    """Marker-stopword hit count for one language."""
+    markers = LANG_MARKERS[lang]
+    expr = F.lit(0)
+    for w in markers:
+        expr = expr + _count_token(col, w)
+    return expr
+
+
+def lang_id(col) -> Column:
+    """Highest-scoring marker language; 'und' when no marker hits.
+    Deterministic tie-break: language name ascending."""
+    pairs = [(lang, lang_score(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best = None
+    best_score = None
+    for lang, score in pairs:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + a composite
+    score in [0,1] (the usual crawl-corpus quality gate)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    stop_hits = F.lit(0)
+    for w in EN_STOPWORDS:
+        stop_hits = stop_hits + _count_token(t, w)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)).cast("double"), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    upper_ratio = F.round(n_upper / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    mean_tok_len = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) /
+        F.greatest(n_tok, F.lit(1)).cast("double"), 4)
+    # composite: in-range token length, some stopwords, low punct/upper noise
+    score = (
+        F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(upper_ratio < 0.3, F.lit(0.1)).otherwise(F.lit(0.0)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def fingerprint(col) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text — exact-dup detection that survives
+    formatting noise."""
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,88 @@
+"""Partitioned Bloom seen-filter: exactness vs plain anti-join + cuckoo."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.bloom import CuckooFilter, PartitionedBloom
+from supercrawler_spark.fixtures import make_seed_frontier
+
+
+@pytest.fixture(scope="module")
+def url_sets(spark):
+    seen_pdf = make_seed_frontier(20000, n_hosts=100)
+    cand_pdf = make_seed_frontier(30000, n_hosts=100)  # 20k overlap + 10k new
+    return (spark.createDataFrame(seen_pdf[["url"]]),
+            spark.createDataFrame(cand_pdf[["url"]]))
+
+
+def test_bloom_prefilter_equals_exact_antijoin(spark, url_sets):
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    n = bloom.add(spark, seen)
+    assert n == 20000
+    got = {r["url"] for r in bloom.prefilter(spark, cand, "url", seen).collect()}
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    assert got == want
+    assert len(want) == 10000
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark, url_sets):
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    flagged = bloom.maybe_seen_flag(spark, cand, "url").toPandas()
+    is_seen = flagged["url"].str.extract(r"page(\d+)$")[0].astype(int) < 20000
+    # no false negatives: every seen url must be flagged
+    assert flagged.loc[is_seen, "_maybe_seen"].all()
+    # false-positive rate on the genuinely-new 10k
+    fpr = flagged.loc[~is_seen, "_maybe_seen"].mean()
+    assert fpr < 0.05, f"FPR {fpr}"
+    assert bloom.fp_rate_estimate() < 0.05
+
+
+def test_bloom_roundtrip_persistence(spark, url_sets):
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    restored = PartitionedBloom.from_pandas(bloom.to_pandas())
+    assert np.array_equal(bloom.bits, restored.bits)
+    assert (restored.P, restored.m, restored.k) == (bloom.P, bloom.m, bloom.k)
+
+
+def test_crawler_with_bloom_matches_without(spark):
+    import tempfile
+
+    from supercrawler_spark import fixtures
+    from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+    results = []
+    for use_bloom in (False, True):
+        wd = tempfile.mkdtemp()
+        cr = SparkCrawler(spark, web_df, wd,
+                          CrawlConfig(budget=8, use_bloom=use_bloom,
+                                      bloom_partitions=4,
+                                      bloom_capacity=1 << 12))
+        cr.seed(list(seeds["url"]))
+        cr.crawl(max_cycles=100)
+        results.append((cr.crawl_order, cr.seen_urls()))
+    assert results[0][0] == results[1][0]  # identical crawl order
+    assert results[0][1] == results[1][1]  # identical seen set
+
+
+def test_cuckoo_insert_lookup_delete():
+    cf = CuckooFilter(capacity=1 << 12)
+    hs = [hash(f"url-{i}") & 0x7FFFFFFFFFFFFFFF for i in range(2000)]
+    for h in hs:
+        assert cf.add(h)
+    assert all(cf.contains(h) for h in hs)
+    # delete half, they must leave (no false positives from deleted fps
+    # beyond fingerprint collisions)
+    for h in hs[:1000]:
+        assert cf.delete(h)
+    assert all(cf.contains(h) for h in hs[1000:])
+    gone = sum(cf.contains(h) for h in hs[:1000])
+    assert gone < 50  # only residual fingerprint collisions
