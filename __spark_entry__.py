@@ -299,7 +299,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 20)
-    return SIM.lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=8, n_tables=8)
+    return SIM.lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
 
 
 def q_multimodal_decode(spark, sf_dir):

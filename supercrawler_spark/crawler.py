@@ -312,6 +312,10 @@ class SparkCrawler:
                         .withColumn("robots_allowed", F.lit(True)))
 
         # --- fetch join (J5/S4) — production: mapInPandas HTTP stage -------
+        # The batch (politeness-budget bounded) is broadcast INTO the web
+        # table: one streaming scan of web_pages per cycle, bodies never
+        # shuffled or broadcast. URLs absent from the web surface as
+        # f_status NULL → REQUEST_ERROR (connection-failure analog).
         pages = self.web_pages.select(
             "url",
             F.col("status_code").alias("f_status"),
@@ -319,14 +323,13 @@ class SparkCrawler:
             F.col("location").alias("f_location"),
             F.col("body").alias("f_body"),
         )
-        fetched = batch_df.join(pages, "url", "left")
+        found = pages.join(F.broadcast(batch_df), "url", "inner").persist()
 
         # rows that fire handlers: robots-allowed, present, 2xx non-redirect
-        fetch_ok = (F.col("robots_allowed") & F.col("f_status").isNotNull()
-                    & (F.col("f_status") < 400))
+        fetch_ok = (F.col("robots_allowed") & (F.col("f_status") < 400))
 
         kernel = _make_handler_kernel(self.registry)
-        kernel_in = (fetched
+        kernel_in = (found
                      .filter(fetch_ok)
                      .select("batch_idx", "url", "f_status", "f_content_type",
                              "f_location", "f_body"))
@@ -341,7 +344,11 @@ class SparkCrawler:
                     .select("batch_idx", "link_idx", F.col("link").alias("url")))
 
         # --- per-row outcome fold (error taxonomy, Crawler.js:283-314) ------
-        results = (fetched
+        # all inputs are batch-sized: batch_df (local), found's status
+        # columns (cached, bodies pruned), handler errors (cached)
+        results = (batch_df
+                   .join(F.broadcast(found.select("batch_idx", "f_status")),
+                         "batch_idx", "left")
                    .join(F.broadcast(handler_errors), "batch_idx", "left")
                    .select(
                        "batch_idx", "url", "num_errors",
@@ -498,6 +505,7 @@ class SparkCrawler:
         self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
         ph.mark('checkpoint')
         kernel_out.unpersist()
+        found.unpersist()
         new_rows.unpersist()
 
         # --- lineage / metrics (S7, A5) -------------------------------------

@@ -209,6 +209,51 @@ def make_web_fixture(n_hosts: int = 4, pages_per_host: int = 6, n_images: int = 
     return seeds, web_pages, images
 
 
+def make_bench_web(n_hosts: int = 500, pages_per_host: int = 20,
+                   links_per_page: int = 30, filler_kb: int = 4,
+                   seed: int = 42):
+    """Large uniform synthetic web for throughput/scaling benches:
+    every host gets an allow-all robots.txt and a chain/cross-host page
+    graph with duplicate + dead links. Returns (seeds_pdf, web_pages_pdf).
+    Bodies carry ~filler_kb of text so the parse kernel does realistic
+    per-page work."""
+    rng = np.random.default_rng(seed)
+    # filler with realistic entropy (compresses ~3-5x like real HTML, not
+    # 20x) so parquet split sizing reflects true data volume
+    vocab = np.array([f"w{i:04d}" for i in range(4096)])
+    words_per_page = filler_kb * 1024 // 6
+    pages = []
+    for hi in range(n_hosts):
+        host = f"bench{hi}.example"
+        base = f"http://{host}"
+        pages.append(_page(f"{base}/robots.txt", host, 200, "text/plain",
+                           body=b"User-agent: *\nDisallow:\n"))
+        host_fill = vocab[rng.integers(0, len(vocab),
+                                       size=(pages_per_host, words_per_page))]
+        for p in range(pages_per_host):
+            filler = "<p>" + " ".join(host_fill[p]) + "</p>"
+            links = []
+            for j in range(links_per_page):
+                target = (p * 7 + j) % pages_per_host
+                if j % 5 == 4:  # cross-host
+                    th = (hi + j) % n_hosts
+                    links.append(f"http://bench{th}.example/p{target}.html")
+                elif j % 7 == 6:  # duplicate of first link
+                    links.append(f"/p{(p * 7) % pages_per_host}.html")
+                else:
+                    links.append(f"/p{target}.html")
+            body = _html(links, filler)
+            pages.append(_page(f"{base}/p{p}.html", host, 200, "text/html",
+                               body=body))
+    web = pd.DataFrame(pages, columns=WEB_PAGES_COLUMNS)
+    web["status_code"] = web["status_code"].astype("int32")
+    seeds = pd.DataFrame({
+        "seq": np.arange(n_hosts, dtype=np.int64),
+        "url": [f"http://bench{hi}.example/p0.html" for hi in range(n_hosts)],
+    })
+    return seeds, web
+
+
 def make_seed_frontier(n: int, n_hosts: int = 1000, seed: int = 42) -> pd.DataFrame:
     """Large synthetic seed list for frontier/pop/dedup benches (stand-in for
     the 10^10-URL target, parameterized by scale)."""

@@ -30,11 +30,14 @@ def get_spark(app_name: str = "supercrawler-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow batches bounded in BYTES for fat binary rows (a 10k-row
+        # batch of 14KB pages is 140MB/worker — at 32 workers that thrashes);
+        # 2k rows caps a body batch at ~30MB while analytic columns stay fast
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # runtime bloom on join keys complements our persisted seen-filter
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -57,7 +57,7 @@ def test_crawler_with_bloom_matches_without(spark):
     from supercrawler_spark import fixtures
     from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
 
-    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=1, pages_per_host=3)
     web_df = spark.createDataFrame(web)
     results = []
     for use_bloom in (False, True):

@@ -1,0 +1,195 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal —
+plus physical-plan assertions (pushdown / broadcast / codegen)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark.datapipe import dedup as DD
+from supercrawler_spark.datapipe import multimodal as MM
+from supercrawler_spark.datapipe import similarity as SIM
+from supercrawler_spark.datapipe import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the  Quick  brown fox jumps over the lazy dog "),       # fingerprint dup-ish
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "la casa es muy grande y el perro de los vecinos"),
+        (6, "der hund und die katze sind in das haus"),
+        (7, "le chat est dans les jardins et une maison"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["keeper_id"]: r["n_dupes"] for r in DD.exact_dedup(docs).collect()}
+    assert out[0] == 1        # doc 1 is an exact copy of doc 0
+    assert sum(out.values()) == 1
+
+
+def test_fingerprint_dedup_absorbs_whitespace_but_not_case_insensitive_dup(docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in DD.fingerprint_dedup(docs).collect()}
+    # 0,1,2 share the normalized (lowercased, whitespace-collapsed) form
+    assert out[0] == 3
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DD.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                           shingle_n=2).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 3) in pairs or (1, 3) in pairs  # near dup shares shingle bands
+    assert (4, 5) not in pairs      # unrelated docs don't
+
+
+def test_jaccard_verification(docs):
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 1), (0, 3), (0, 4)], ["id_a", "id_b"])
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in DD.jaccard_pairs(docs, pairs, shingle_n=2).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.3 < j[(0, 3)] < 1.0
+    assert j[(0, 4)] == 0.0
+
+
+def test_simhash_hamming_locality(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    from supercrawler_spark.imaging import hamming64
+    assert sig[0] == sig[1]
+    assert hamming64(sig[0], sig[3]) <= 16
+    assert hamming64(sig[0], sig[4]) > 16
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in DD.simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert (0, 1) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_lang_id(docs, spark):
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in docs.select("doc_id",
+                                TX.lang_id(F.col("text")).alias("pred_lang")).collect()}
+    assert out[0] == "en"
+    assert out[5] == "es"
+    assert out[6] == "de"
+    assert out[7] == "fr"
+
+
+def test_token_count_and_quality(docs):
+    out = {r["doc_id"]: r for _, r in
+           TX.quality_features(docs).toPandas().iterrows()}
+    assert out[0]["n_tokens"] == 9
+    assert 0.0 <= out[0]["quality_score"] <= 1.0
+    assert out[0]["stop_ratio"] > 0.2  # 'the' twice + 'over'... of 9 tokens
+
+
+def test_brute_force_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.95, 0.05]),
+            (4, [0.5, 0.5, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top1 = {r["q_id"]: r["n_id"]
+            for r in SIM.brute_force_topk(df, df, k=1).collect()}
+    assert top1[0] == 1 and top1[1] == 0
+    assert top1[2] == 3 and top1[3] == 2
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("embedding")))
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.lsh_ann_topk(emb, queries, k=5, dim=64,
+                              n_planes=4, n_tables=8).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall {recall}"
+
+
+def test_multimodal_decode_and_corrupt_row(spark):
+    from supercrawler_spark import fixtures
+    images = fixtures.make_images(8)
+    corrupt = pd.DataFrame([{"image_id": "img-bad", "bytes": b"NOTANIMAGE",
+                             "w": 0, "h": 0, "fmt": "png",
+                             "caption": "x", "phash": 0}])
+    df = spark.createDataFrame(pd.concat([images, corrupt], ignore_index=True))
+    out = MM.decode_features(df).toPandas().set_index("image_id")
+    good = out.drop(index="img-bad")
+    assert good["decode_error"].isna().all()
+    ref = images.set_index("image_id")
+    for iid in good.index:
+        assert good.loc[iid, "w"] == ref.loc[iid, "w"]
+        assert good.loc[iid, "phash"] == ref.loc[iid, "phash"] or \
+            ref.loc[iid, "fmt"] == "jpeg"  # lossy phash may differ slightly
+    assert out.loc["img-bad", "decode_error"] is not None
+
+
+def test_multimodal_verify_invariant(spark):
+    from supercrawler_spark import fixtures
+    images = spark.createDataFrame(fixtures.make_images(8))
+    out = MM.verify_against_reference(images).toPandas()
+    assert out["pixels_ok"].all()
+    assert out["caption_ok"].all()
+
+
+def test_thumbnail_vectors(spark):
+    from supercrawler_spark import fixtures
+    images = spark.createDataFrame(fixtures.make_images(4))
+    out = MM.thumbnail_vectors(images, side=4).toPandas()
+    assert all(len(t) == 16 for t in out["thumb"])
+
+
+# ---------------------------------------------------------------------------
+# physical-plan assertions: the plans we'd want at 100 TB
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = events.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")) \
+               .select("event_id", "ts")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts," in plan, plan
+    # column pruning: only the two needed columns are read
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz>" in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = orders.join(F.broadcast(customer),
+                     orders.o_custkey == customer.c_custkey)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_anti_join_dedup_plan_has_no_cartesian(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = part.join(li.select(F.col("l_partkey").alias("p_partkey")),
+                   "p_partkey", "left_anti")
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_uses_partial_aggregation(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(df)
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
