@@ -319,6 +319,15 @@ def q_multimodal_verify(spark, sf_dir):
     return MM.verify_against_reference(images).orderBy("image_id")
 
 
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming: event-time tumbling windows + watermark over a
+    parquet stream (availableNow), complete-mode — equals the batch GROUP BY
+    so the DuckDB oracle checks it exactly."""
+    from supercrawler_spark import streaming
+    return streaming.windowed_event_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_crawl_e2e(spark, sf_dir):
     """The crawl loop end-to-end on the synthetic web fixture (rows-only;
     full parity vs the reference simulator is asserted in
@@ -379,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "streaming_window_counts": q_streaming_window_counts,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "crawl_e2e": q_crawl_e2e,
@@ -501,6 +511,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_id, (props->>'$.k')::BIGINT AS k FROM events
+        """,
+        "streaming_window_counts": """
+            SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS window_start,
+                   event_type, count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -109,7 +109,18 @@ class CrawlConfig:
     interval_ms: float = 1000.0          # Crawler.js:14,35
     budget: int = 1                      # per-cycle batch (1 ⇒ exact reference order)
     per_host_cap: int | None = None      # politeness: max rows per host per cycle
-    order_mode: str = "random"           # "random" (DbUrlList) | "fifo" (FifoUrlList)
+    order_mode: str = "random"
+    # "random" (DbUrlList deterministic-random priority) | "fifo"
+    # (FifoUrlList) | "decay" (RedisUrlList hostname-balancing decay score,
+    # lib/RedisUrlList.js:25-53: the more URLs a host inserted recently,
+    # the later its new URLs drain — fresh scores (small counts) sort far
+    # before epoch-ms retry/recrawl scores, exactly like the Redis zset)
+    delay_half_life_ms: float = 3600000.0    # RedisUrlList.js:6,21
+    virtual_start_ms: float = 0.0
+    # decay mode should start the virtual clock at a large epoch (e.g. 1e12)
+    # so fresh count-scale scores sort due immediately while retry/recrawl
+    # scores (now + backoff) land in the future — exactly the Redis zset
+    # score space where now is real epoch-ms.
     robots_enabled: bool = True          # Crawler.js robotsEnabled
     robots_ignore_server_error: bool = False  # Crawler.js robotsIgnoreServerError
     robots_cache_ttl_ms: float = 3600000.0    # Crawler.js:16,38-40
@@ -122,6 +133,13 @@ class CrawlConfig:
     # micro-cycle plans pay AQE's re-optimization overhead without gaining
     # from it (measured 3x slower at sandbox scale); enable for huge budgets
     # where skew-join splitting on hot hosts matters.
+    max_idle_skip_ms: float | None = None
+    # idle fast-forward horizon: when no row is due, the reference keeps
+    # ticking on wall time until the earliest nextRetryDate matures
+    # (Crawler.js:555-568). Under the virtual clock we jump to the first
+    # tick after the earliest next_fetch_time — but only if it is within
+    # this horizon (None = stop at exhaustion; retries/recrawls beyond the
+    # horizon are treated as terminal, like stopping the reference crawler).
     use_bloom: bool = False              # Bloom-prefiltered dedup (scale path)
     bloom_partitions: int = 32
     bloom_capacity: int = 1 << 20
@@ -140,12 +158,14 @@ class _RobotsEntry:
 class CycleStats:
     cycle_id: int
     popped: int = 0
+    fast_forwarded: bool = False
     links_found: int = 0
     links_new: int = 0
     dedup_hits: int = 0
     robots_denied: int = 0
     errors: int = 0
     events: list = field(default_factory=list)
+    results: list = field(default_factory=list)  # per-row outcomes (driver)
 
 
 class SparkCrawler:
@@ -165,8 +185,9 @@ class SparkCrawler:
         self.robots_cache: dict[str, _RobotsEntry] = {}
         self.max_seq: int = -1
         self.cycle_id: int = 0
-        self.cycle_time: float = 0.0
+        self.cycle_time: float = self.config.virtual_start_ms
         self.crawl_order: list[tuple[int, int, str]] = []
+        self.host_delay: dict[str, tuple[float, float]] = {}  # host → (delay, last_update)
         self._log_buffer: list[dict] = []
         self._metrics_buffer: list[dict] = []
         self._bloom = None
@@ -188,6 +209,13 @@ class SparkCrawler:
             seen.add(u)
             self.max_seq += 1
             rows.append(self._fresh_row(u, self.max_seq, self.cycle_time))
+        if self.config.order_mode == "decay":
+            from .priority import decay_scores
+            scores = decay_scores(
+                [(r["host"], self.cycle_time) for r in rows],
+                self.host_delay, self.config.delay_half_life_ms)
+            for r, s in zip(rows, scores):
+                r["next_fetch_time"] = s
         if not rows:
             return
         df = self.spark.createDataFrame(pd.DataFrame(rows), schema=FRONTIER_SCHEMA)
@@ -202,7 +230,7 @@ class SparkCrawler:
 
     def _fresh_row(self, url: str, seq: int, now_ms: float) -> dict:
         if self.config.order_mode == "fifo":
-            nft = 0.0
+            nft = 0.0  # decay scores are patched in by seed()
         else:
             nft = now_ms - urls_mod.deterministic_priority(url) * YEAR_MS
         return {
@@ -228,6 +256,8 @@ class SparkCrawler:
         self.max_seq = meta["max_seq"]
         self.cycle_id = meta["cycle_id"]
         self.cycle_time = meta["cycle_time"]
+        self.host_delay = {h: tuple(v)
+                           for h, v in meta.get("host_delay", {}).items()}
         return True
 
     def _commit_snapshot(self) -> None:
@@ -254,7 +284,8 @@ class SparkCrawler:
         self.store.commit(
             {"frontier": frontier_out, "robots": robots_df},
             meta={"cycle_id": self.cycle_id, "cycle_time": self.cycle_time,
-                  "max_seq": self.max_seq},
+                  "max_seq": self.max_seq,
+                  "host_delay": {h: list(v) for h, v in self.host_delay.items()}},
         )
 
     # ------------------------------------------------------------------
@@ -272,6 +303,9 @@ class SparkCrawler:
         stats.popped = len(batch)
         if not batch:
             stats.events.append(("urllistempty", None))
+            if cfg.max_idle_skip_ms is not None and self._fast_forward():
+                stats.fast_forwarded = True
+                return stats
             stats.events.append(("urllistcomplete", None))
             return stats
 
@@ -347,13 +381,14 @@ class SparkCrawler:
         # all inputs are batch-sized: batch_df (local), found's status
         # columns (cached, bodies pruned), handler errors (cached)
         results = (batch_df
-                   .join(F.broadcast(found.select("batch_idx", "f_status")),
+                   .join(F.broadcast(found.select("batch_idx", "f_status",
+                                                  "f_location")),
                          "batch_idx", "left")
                    .join(F.broadcast(handler_errors), "batch_idx", "left")
                    .select(
                        "batch_idx", "url", "num_errors",
                        "robots_allowed", "robots_deny_status", "robots_req_err",
-                       "f_status", "handlers_error"))
+                       "f_status", "f_location", "handlers_error"))
         results = results.withColumn(
             "error_code",
             F.when(F.col("robots_req_err"), F.lit("REQUEST_ERROR"))
@@ -391,8 +426,9 @@ class SparkCrawler:
         ph.mark('plan2')
         result_rows = (results
                        .select("batch_idx", "url", "num_errors", "status_out",
-                               "error_code", "error_message")
+                               "error_code", "error_message", "f_location")
                        .collect())
+        stats.results = [r.asDict() for r in result_rows]
         ph.mark('results_collect')
 
         # --- ordered insert list: robots enqueues then discovered links -----
@@ -431,21 +467,27 @@ class SparkCrawler:
         w_seq = Window.partitionBy(F.lit(0)).orderBy("batch_idx", "source_order", "link_idx")
         t_insert = (F.lit(self.cycle_time)
                     + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
+        base = (links_unique
+                .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
+                .withColumn("url_hash", SF.url_hash(F.col("url")))
+                # JVM-side host extraction (handler links are already
+                # canonicalized to lowercase hosts)
+                .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+                .withColumn("t_insert", t_insert))
         if cfg.order_mode == "fifo":
-            nft = F.lit(0.0)
+            base = base.withColumn("next_fetch_time", F.lit(0.0))
+        elif cfg.order_mode == "decay":
+            base = self._decay_score_rows(base)
         else:
-            nft = t_insert - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS)
-        new_rows = (links_unique
-                    .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
-                    .withColumn("url_hash", SF.url_hash(F.col("url")))
-                    # JVM-side host extraction (handler links are already
-                    # canonicalized to lowercase hosts)
-                    .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+            base = base.withColumn(
+                "next_fetch_time",
+                F.col("t_insert")
+                - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
+        new_rows = (base
                     .withColumn("status_code", F.lit(None).cast("int"))
                     .withColumn("error_code", F.lit(None).cast("string"))
                     .withColumn("error_message", F.lit(None).cast("string"))
                     .withColumn("num_errors", F.lit(0))
-                    .withColumn("next_fetch_time", nft)
                     .select(*[f.name for f in FRONTIER_SCHEMA]))
         new_rows = new_rows.persist()
         n_new = new_rows.count()
@@ -491,22 +533,30 @@ class SparkCrawler:
                  .when(has_upd,  # null status + null error → re-crawl now
                        t_row - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
                  .otherwise(F.col("next_fetch_time")))
-        merged = (merged
-                  .withColumn("status_code",
-                              F.when(has_upd, F.col("status_out")).otherwise(F.col("status_code")))
-                  .withColumn("error_code",
-                              F.when(has_upd, F.col("u_error_code")).otherwise(F.col("error_code")))
-                  .withColumn("error_message",
-                              F.when(has_upd, F.col("u_error_message")).otherwise(F.col("error_message")))
-                  .withColumn("num_errors", new_num_errors)
-                  .withColumn("next_fetch_time", new_nft)
-                  .select(*[f.name for f in FRONTIER_SCHEMA]))
+        # one SELECT computing every output column from the ORIGINAL inputs
+        # (chained withColumn would make new_nft see the already-updated
+        # num_errors — off-by-one in the backoff exponent)
+        merged = merged.select(
+            F.col("url_hash"), F.col("url"), F.col("host"),
+            F.when(has_upd, F.col("status_out")).otherwise(F.col("status_code"))
+             .alias("status_code"),
+            F.when(has_upd, F.col("u_error_code")).otherwise(F.col("error_code"))
+             .alias("error_code"),
+            F.when(has_upd, F.col("u_error_message")).otherwise(F.col("error_message"))
+             .alias("error_message"),
+            new_num_errors.alias("num_errors"),
+            new_nft.alias("next_fetch_time"),
+            F.col("seq"),
+        )
 
         self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
         ph.mark('checkpoint')
         kernel_out.unpersist()
         found.unpersist()
         new_rows.unpersist()
+        if getattr(self, "_scored_tmp", None) is not None:
+            self._scored_tmp.unpersist()
+            self._scored_tmp = None
 
         # --- lineage / metrics (S7, A5) -------------------------------------
         self._log_cycle(result_rows, stats)
@@ -521,13 +571,76 @@ class SparkCrawler:
         """Run micro-cycles until the frontier is exhausted (urllistcomplete)
         or max_cycles is hit. Final state is always committed."""
         out = []
-        while max_cycles is None or len(out) < max_cycles:
+        n_work = 0  # fast-forward ticks don't count toward max_cycles
+        while max_cycles is None or n_work < max_cycles:
             stats = self.run_cycle()
             out.append(stats)
-            if stats.popped == 0:
+            if stats.popped > 0:
+                n_work += 1
+            elif not stats.fast_forwarded:
                 break
         self._commit_snapshot()
         return out
+
+    def _fast_forward(self) -> bool:
+        """Advance the virtual clock to the first tick after the earliest
+        pending next_fetch_time within the idle-skip horizon. Returns True
+        if time advanced (work is pending)."""
+        cfg = self.config
+        row = (self.frontier
+               .filter(F.col("next_fetch_time") < F.lit(
+                   self.cycle_time + cfg.max_idle_skip_ms))
+               .filter(~F.col("next_fetch_time").eqNullSafe(F.lit(math.inf)))
+               .agg(F.min("next_fetch_time").alias("m")).collect())
+        m = row[0]["m"] if row else None
+        if m is None or m < self.cycle_time:
+            return False
+        ticks = math.floor(m / cfg.interval_ms) + 1
+        self.cycle_time = ticks * cfg.interval_ms
+        return True
+
+    def _decay_score_rows(self, base: DataFrame) -> DataFrame:
+        """RedisUrlList hostname-balancing scores (A1) for the cycle's fresh
+        inserts: exact sequential decay recurrence per host, computed
+        distributedly with ``applyInPandas`` over host groups (each group is
+        budget-bounded), with carried per-host state broadcast in and the
+        final per-host state harvested back (one tiny collect)."""
+        from .priority import decay_scores
+
+        hl = self.config.delay_half_life_ms
+        state_bc = self.spark.sparkContext.broadcast(
+            {h: tuple(v) for h, v in self.host_delay.items()})
+        out_schema = T.StructType(
+            list(base.schema.fields) + [
+                T.StructField("next_fetch_time", T.DoubleType()),
+                T.StructField("_d_delay", T.DoubleType()),
+                T.StructField("_d_last", T.DoubleType()),
+                T.StructField("_is_last", T.BooleanType()),
+            ])
+
+        def scorer(key, pdf):
+            host = key[0]
+            pdf = (pdf.sort_values(["batch_idx", "source_order", "link_idx"])
+                      .reset_index(drop=True))
+            state = {}
+            if host in state_bc.value:
+                state[host] = state_bc.value[host]
+            scores = decay_scores(
+                [(host, float(t)) for t in pdf["t_insert"]], state, hl)
+            pdf["next_fetch_time"] = scores
+            d, last = state[host]
+            pdf["_d_delay"] = d
+            pdf["_d_last"] = last
+            pdf["_is_last"] = [i == len(pdf) - 1 for i in range(len(pdf))]
+            return pdf
+
+        scored = base.groupBy("host").applyInPandas(scorer, schema=out_schema)
+        scored = scored.persist()
+        for r in scored.filter(F.col("_is_last")) \
+                       .select("host", "_d_delay", "_d_last").collect():
+            self.host_delay[r["host"]] = (r["_d_delay"], r["_d_last"])
+        self._scored_tmp = scored
+        return scored.drop("_is_last", "_d_delay", "_d_last")
 
     # ------------------------------------------------------------------
     # pop (W1/W2): salted host-bucket window rank + global top-B

@@ -1,0 +1,174 @@
+"""Reference-compatible user API — a drop-in shape for supercrawler users.
+
+Mirrors the reference surface (/root/reference/lib/Crawler.js README API):
+
+    crawler = Crawler(spark, web_pages,
+                      interval=1000, concurrent_requests_limit=5,
+                      robots_enabled=True, robots_cache_time=3600000,
+                      url_list="db")                # "db" | "fifo" | "redis"
+    crawler.add_handler("text/html", html_link_parser(hostnames=[...]))
+    crawler.add_handler(my_handler)                 # one-arg wildcard form
+    crawler.get_url_list().insert_if_not_exists("https://example.com/")
+    crawler.on("crawledurl", lambda url, ec, sc, em: ...)
+    crawler.start();  ...;  crawler.stop()
+
+Option mapping onto the batch engine:
+- interval            → interval_ms (global rate limit, virtual clock)
+- concurrentRequestsLimit → per-cycle politeness budget (the reference's
+  concurrency cap bounds in-flight requests; one micro-cycle's batch IS the
+  in-flight set — Crawler.js:108-126 / SURVEY.md T2)
+- urlList choice      → frontier ordering semantics: "db" = DbUrlList
+  deterministic-random priority + retry/recrawl; "fifo" = FifoUrlList
+  insertion order, never re-queued; "redis" = RedisUrlList hostname-
+  balancing decay scores + retry/expiry
+- robotsEnabled / robotsIgnoreServerError / robotsCacheTime / userAgent →
+  verbatim
+
+Events emitted (reference names + argument shapes, Crawler.js:222-316):
+crawlurl(url), crawledurl(url, errorCode, statusCode, errorMessage),
+redirect(url, location), httpError(statusCode, url),
+handlersError(message), urllistempty(), urllistcomplete().
+(The reference's links(url, links) event requires per-page link lists on
+the driver; register a listener and the engine collects them — opt-in cost.)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .crawler import CrawlConfig, SparkCrawler
+from .handlers import HandlerRegistry
+
+_URL_LIST_MODES = {"db": "random", "fifo": "fifo", "redis": "decay"}
+
+
+class UrlListView:
+    """insertIfNotExists-style queueing facade over the frontier."""
+
+    def __init__(self, crawler: "Crawler"):
+        self._crawler = crawler
+
+    def insert_if_not_exists(self, url) -> None:
+        url = getattr(url, "url", url)  # accept Url-like objects
+        self._crawler._queue_url(str(url))
+
+    def insert_if_not_exists_bulk(self, urls) -> None:
+        for u in urls:
+            self.insert_if_not_exists(u)
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, web_pages: DataFrame,
+                 workdir: str | None = None,
+                 interval: float = 1000.0,
+                 concurrent_requests_limit: int = 5,
+                 robots_enabled: bool = True,
+                 robots_ignore_server_error: bool = False,
+                 robots_cache_time: float = 3600000.0,
+                 user_agent: str | None = None,
+                 url_list: str = "db",
+                 **engine_opts):
+        import tempfile
+        if url_list not in _URL_LIST_MODES:
+            raise ValueError(f"url_list must be one of {set(_URL_LIST_MODES)}")
+        self._spark = spark
+        self._web_pages = web_pages
+        self._workdir = workdir or tempfile.mkdtemp(prefix="supercrawler-")
+        kw = dict(
+            interval_ms=float(interval),
+            budget=int(concurrent_requests_limit),
+            order_mode=_URL_LIST_MODES[url_list],
+            robots_enabled=robots_enabled,
+            robots_ignore_server_error=robots_ignore_server_error,
+            robots_cache_ttl_ms=float(robots_cache_time),
+        )
+        if url_list == "redis" and "virtual_start_ms" not in engine_opts:
+            kw["virtual_start_ms"] = 1e12  # Redis scores live in epoch-ms space
+        if user_agent is not None:
+            kw["user_agent"] = user_agent
+        kw.update(engine_opts)
+        self._config = CrawlConfig(**kw)
+        self._registry = HandlerRegistry()
+        self._listeners: dict[str, list] = defaultdict(list)
+        self._pending_seeds: list[str] = []
+        self._engine: SparkCrawler | None = None
+        self._started = False
+
+    # -- reference API ------------------------------------------------------
+    def add_handler(self, content_type, handler=None) -> "Crawler":
+        """addHandler(contentType, handler) or addHandler(handler)
+        (one-arg wildcard form) — Crawler.js:135-148."""
+        self._registry.add(content_type, handler)
+        return self
+
+    def on(self, event: str, fn) -> "Crawler":
+        self._listeners[event].append(fn)
+        return self
+
+    def get_url_list(self) -> UrlListView:
+        return UrlListView(self)
+
+    def queue_url(self, url: str) -> "Crawler":
+        self._queue_url(url)
+        return self
+
+    @property
+    def engine(self) -> SparkCrawler:
+        if self._engine is None:
+            self._engine = SparkCrawler(self._spark, self._web_pages,
+                                        self._workdir, self._config,
+                                        registry=self._registry)
+        return self._engine
+
+    def start(self, max_cycles: int | None = None) -> None:
+        """Run micro-cycles until exhaustion / stop() / max_cycles, emitting
+        reference events. (The reference's start() is non-blocking on an
+        event loop; here the loop runs to completion — stop() from a
+        listener callback halts after the current cycle.)"""
+        if self._started:
+            return  # re-entry guard (Crawler.js:108-113)
+        self._started = True
+        eng = self.engine
+        if self._pending_seeds:
+            eng.seed(self._pending_seeds)
+            self._pending_seeds = []
+        n_work = 0
+        while self._started and (max_cycles is None or n_work < max_cycles):
+            before = len(eng.crawl_order)
+            stats = eng.run_cycle()
+            if stats.popped:
+                n_work += 1
+                for _, _, url in eng.crawl_order[before:]:
+                    self._emit("crawlurl", url)
+                for r in sorted(stats.results, key=lambda r: r["batch_idx"]):
+                    self._emit("crawledurl", r["url"], r["error_code"],
+                               r["status_out"], r["error_message"])
+                    status = r["status_out"]
+                    if r["error_code"] == "HTTP_ERROR":
+                        self._emit("httpError", status, r["url"])
+                    elif r["error_code"] == "HANDLERS_ERROR":
+                        self._emit("handlersError", r["error_message"])
+                    elif status is not None and 300 <= status < 400:
+                        self._emit("redirect", r["url"], r["f_location"])
+            for event, arg in stats.events:
+                self._emit(event) if arg is None else self._emit(event, arg)
+            if stats.popped == 0 and not stats.fast_forwarded:
+                break
+        eng._commit_snapshot()
+        self._started = False
+
+    def stop(self) -> None:
+        self._started = False
+
+    # -- internals ------------------------------------------------------------
+    def _queue_url(self, url: str) -> None:
+        if self._engine is None:
+            self._pending_seeds.append(url)
+        else:
+            self._engine.seed([url])
+
+    def _emit(self, event: str, *args) -> None:
+        for fn in self._listeners.get(event, []):
+            fn(*args)

@@ -59,6 +59,9 @@ class OracleConfig:
     initial_retry_ms: float = HOUR_MS
     recrawl_ms: float = YEAR_MS
     max_redirect_hops: int = 10
+    max_idle_skip_ms: float | None = None  # idle fast-forward horizon
+    delay_half_life_ms: float = 3600000.0  # decay mode (RedisUrlList.js:6,21)
+    virtual_start_ms: float = 0.0
 
 
 @dataclass
@@ -88,7 +91,8 @@ class OracleCrawler:
         self.registry = registry if registry is not None else default_registry()
         self.rows: dict[str, OracleRow] = {}
         self.max_seq = -1
-        self.now = 0.0
+        self.now = self.cfg.virtual_start_ms
+        self.host_delay: dict[str, tuple] = {}  # decay mode state
         self.robots_cache: dict[str, tuple] = {}  # key → (kind, payload, at)
         self.order: list[tuple[int, int, str]] = []
 
@@ -96,6 +100,11 @@ class OracleCrawler:
     def _fresh_nft(self, url: str, now: float) -> float:
         if self.cfg.order_mode == "fifo":
             return 0.0
+        if self.cfg.order_mode == "decay":
+            from .priority import decay_scores
+            host = urls_mod.hostname_of(url)
+            return decay_scores([(host, now)], self.host_delay,
+                                self.cfg.delay_half_life_ms)[0]
         return now - urls_mod.deterministic_priority(url) * YEAR_MS
 
     def insert_if_not_exists(self, url: str, now: float) -> None:
@@ -228,10 +237,26 @@ class OracleCrawler:
 
     # -- the loop ------------------------------------------------------------
     def crawl(self, max_rounds: int | None = None) -> OracleResult:
+        import math
+
         cycle = 0
         while max_rounds is None or cycle < max_rounds:
             batch = self._pop_batch()
             if not batch:
+                if self.cfg.max_idle_skip_ms is not None:
+                    pending = [
+                        r.next_fetch_time for r in self.rows.values()
+                        if (r.next_fetch_time
+                            < self.now + self.cfg.max_idle_skip_ms
+                            and r.next_fetch_time != math.inf
+                            and (self.cfg.order_mode != "fifo"))
+                    ]
+                    if pending:
+                        m = min(pending)
+                        if m >= self.now:
+                            self.now = (math.floor(m / self.cfg.interval_ms)
+                                        + 1) * self.cfg.interval_ms
+                            continue
                 break
             round_inserts: list[tuple[float, str]] = []
             for idx, row in enumerate(batch):

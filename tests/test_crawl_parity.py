@@ -68,6 +68,26 @@ def test_sequential_reference_order(spark):
     assert_parity(cr, res)
 
 
+def test_decay_priority_parity(spark, small_web):
+    """RedisUrlList hostname-balancing decay scores (A1): flooding hosts
+    drain later; engine (applyInPandas recurrence) == oracle (sequential)."""
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=4, mode="decay",
+                       virtual_start_ms=1e12)
+    assert_parity(cr, res)
+    assert cr.host_delay  # state carried
+    # oracle's host_delay must match the engine's final state
+    ora = OracleCrawler(web_pages_dict(web_pdf),
+                        OracleConfig(budget=4, order_mode="decay",
+                                     virtual_start_ms=1e12))
+    ora.seed(list(seeds["url"]))
+    ora.crawl(max_rounds=100)
+    for h in cr.host_delay:
+        d_e, l_e = cr.host_delay[h]
+        d_o, l_o = ora.host_delay[h]
+        assert abs(d_e - d_o) < 1e-9 and l_e == l_o
+
+
 def test_per_host_cap_parity(spark, small_web):
     seeds, web_pdf, web_df = small_web
     cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=6, mode="random",
