@@ -109,6 +109,7 @@ class CrawlConfig:
     interval_ms: float = 1000.0          # Crawler.js:14,35
     budget: int = 1                      # per-cycle batch (1 ⇒ exact reference order)
     per_host_cap: int | None = None      # politeness: max rows per host per cycle
+    host_salt_buckets: int = 1           # >1 → two-stage salted pop (O12 skew guard)
     order_mode: str = "random"
     # "random" (DbUrlList deterministic-random priority) | "fifo"
     # (FifoUrlList) | "decay" (RedisUrlList hostname-balancing decay score,
@@ -656,6 +657,20 @@ class SparkCrawler:
             due = self.frontier.filter(F.col("next_fetch_time") < F.lit(self.cycle_time))
             order = [F.col("next_fetch_time"), F.col("seq")]
         if cfg.per_host_cap is not None:
+            if cfg.host_salt_buckets > 1:
+                # skew guard (O12): a hot host with 10^8 due rows would hand
+                # one task the whole partition. Two exact stages instead:
+                # top-cap WITHIN each (host, salt) bucket — partitions are
+                # 1/S of the host — then exact top-cap over the ≤ S·cap
+                # survivors per host. The per-host top-cap set is always
+                # contained in the union of per-salt top-caps, so the
+                # result is IDENTICAL to the unsalted window.
+                salt = F.pmod(F.xxhash64("url"), F.lit(cfg.host_salt_buckets))
+                w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+                due = (due.withColumn("_salt", salt)
+                          .withColumn("_srn", F.row_number().over(w1))
+                          .filter(F.col("_srn") <= cfg.per_host_cap)
+                          .drop("_salt", "_srn"))
             w = Window.partitionBy("host").orderBy(*order)
             due = (due.withColumn("_hrn", F.row_number().over(w))
                       .filter(F.col("_hrn") <= cfg.per_host_cap).drop("_hrn"))

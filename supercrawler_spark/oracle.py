@@ -60,6 +60,7 @@ class OracleConfig:
     recrawl_ms: float = YEAR_MS
     max_redirect_hops: int = 10
     max_idle_skip_ms: float | None = None  # idle fast-forward horizon
+    host_salt_buckets: int = 1  # engine-only physical knob; semantics no-op
     delay_half_life_ms: float = 3600000.0  # decay mode (RedisUrlList.js:6,21)
     virtual_start_ms: float = 0.0
 

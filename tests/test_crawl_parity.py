@@ -95,6 +95,16 @@ def test_per_host_cap_parity(spark, small_web):
     assert_parity(cr, res)
 
 
+def test_salted_pop_identical_to_unsalted(spark, small_web):
+    """O12 skew guard: the two-stage salted pop returns EXACTLY the same
+    crawl as the plain per-host window (per-host top-cap is contained in
+    the union of per-salt top-caps) — and thus still matches the oracle."""
+    seeds, web_pdf, web_df = small_web
+    cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=6, mode="random",
+                       per_host_cap=2, host_salt_buckets=4)
+    assert_parity(cr, res)
+
+
 def test_robots_disabled_parity(spark, small_web):
     seeds, web_pdf, web_df = small_web
     cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=8, mode="random",
