@@ -149,28 +149,31 @@ def token_jaccard_adjacent(df: DataFrame, text_col: str = "text",
 
 @F.pandas_udf(T.LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens: per-token 64-bit hash
-    (blake2b for determinism across processes), sign-sum per bit, sign →
-    bit. Near-dup docs differ in few bits (hamming distance)."""
-    import hashlib
+    """64-bit SimHash over whitespace tokens: per-token deterministic 64-bit
+    hash (two crc32 halves — C-speed, process-independent), sign-sum per
+    bit vectorized in numpy. Near-dup docs differ in few bits."""
+    from zlib import crc32
 
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
     out = np.empty(len(texts), dtype=np.int64)
+    cache: dict[str, int] = {}
     for i, text in enumerate(texts):
         if not text:
             out[i] = 0
             continue
         toks = str(text).lower().split()
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in toks:
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == np.uint64(1), 1, -1)
-        val = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                val |= 1 << bit
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = cache.get(tok)
+            if h is None:
+                b = tok.encode()
+                h = (crc32(b) << 32) | crc32(b + b"#")
+                cache[tok] = h
+            hs[j] = h
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        val = int((weights[acc > 0]).sum())
         out[i] = val - (1 << 64) if val >= (1 << 63) else val
     return pd.Series(out)
 

@@ -50,17 +50,30 @@ def lang_score(col, lang: str) -> Column:
 
 def lang_id(col) -> Column:
     """Highest-scoring marker language; 'und' when no marker hits.
-    Deterministic tie-break: language name ascending."""
-    pairs = [(lang, lang_score(col, lang)) for lang in sorted(LANG_MARKERS)]
-    best = None
-    best_score = None
-    for lang, score in pairs:
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
+    Deterministic tie-break: language name ascending.
+
+    Single pass: ONE tokens() array traversed by ONE `aggregate` that
+    accumulates all language counts at once. (The naive form — one
+    filter(tokens(...)) per marker — re-derives the split 25x because
+    CollapseProject re-inlines aliases; measured ~3x slower at sf0.1.)"""
+    langs = sorted(LANG_MARKERS)
+
+    def step(acc, t):
+        per_lang = []
+        for i, lang in enumerate(langs):
+            hit = sum((F.when(t == F.lit(w), F.lit(1)).otherwise(F.lit(0))
+                       for w in LANG_MARKERS[lang]), F.lit(0))
+            per_lang.append(acc[i] + hit)
+        return F.array(*per_lang)
+
+    counts = F.aggregate(tokens(col),
+                         F.array(*[F.lit(0)] * len(langs)), step)
+    best = F.lit(langs[0])
+    best_score = counts[0]
+    for i, lang in enumerate(langs[1:], start=1):
+        cond = counts[i] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, counts[i]).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
@@ -71,9 +84,12 @@ def quality_features(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
-    stop_hits = F.lit(0)
-    for w in EN_STOPWORDS:
-        stop_hits = stop_hits + _count_token(t, w)
+    # one token-array traversal for all stopword hits (see lang_id note)
+    stop_hits = F.aggregate(
+        tokens(t), F.lit(0),
+        lambda acc, tok: acc + sum(
+            (F.when(tok == F.lit(w), F.lit(1)).otherwise(F.lit(0))
+             for w in EN_STOPWORDS), F.lit(0)))
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)).cast("double"), 4)
