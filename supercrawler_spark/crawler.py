@@ -491,13 +491,7 @@ class SparkCrawler:
                     .withColumn("num_errors", F.lit(0))
                     .select(*[f.name for f in FRONTIER_SCHEMA]))
         new_rows = new_rows.persist()
-        n_new = new_rows.count()
-        ph.mark('new_count')
-        stats.links_new = int(n_new)
-        stats.dedup_hits = int(n_links - n_new)
-        self.max_seq += n_new
-        if self._bloom is not None and n_new:
-            self._bloom.add(self.spark, new_rows.select("url"))
+        prev_max_seq = self.max_seq
 
         # --- upsert merge (S6: MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT)
         upd_pdf = pd.DataFrame(
@@ -552,6 +546,16 @@ class SparkCrawler:
 
         self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
         ph.mark('checkpoint')
+        # the checkpoint materialized new_rows — read back the new max seq
+        # instead of paying a separate count action on the dedup pipeline
+        new_max = self.frontier.agg(F.max("seq").alias("m")).collect()[0]["m"]
+        self.max_seq = int(new_max) if new_max is not None else prev_max_seq
+        n_new = self.max_seq - prev_max_seq
+        stats.links_new = int(n_new)
+        stats.dedup_hits = int(n_links - n_new)
+        if self._bloom is not None and n_new:
+            self._bloom.add(self.spark, new_rows.select("url"))
+        ph.mark('seq_agg')
         kernel_out.unpersist()
         found.unpersist()
         new_rows.unpersist()
@@ -743,8 +747,13 @@ class SparkCrawler:
             if not pending:
                 break
             current = list(set(pending.values()))
+            # broadcast semi-join instead of a giant In() predicate
+            # (isin with 1000+ hosts is a codegen-hostile expression)
+            want_df = self.spark.createDataFrame(
+                pd.DataFrame({"url": current}), schema=T.StructType(
+                    [T.StructField("url", T.StringType())]))
             rows = (self.web_pages
-                    .filter(F.col("url").isin(current))
+                    .join(F.broadcast(want_df), "url")
                     .select("url", "status_code", "body", "location").collect())
             by_url = {r["url"]: r for r in rows}
             nxt: dict[str, str] = {}
