@@ -117,6 +117,7 @@ def main():
     spark.stop()
 
     crawl = _worker("crawl", f"local[{CPUS}]")
+    dedup = _worker("dedup", f"local[{CPUS}]")
     n_small = max(2, CPUS // 4)
     cyc_small = _worker("cycle", f"local[{n_small}]")
     cyc_big = _worker("cycle", f"local[{CPUS}]")
@@ -148,6 +149,9 @@ def main():
         "crawl_urls_per_sec": crawl["urls_per_sec"],
         "crawl_crawled": crawl["crawled"],
         "crawl_wall_s": crawl["wall_s"],
+        "dedup_2m": {k: dedup[k] for k in
+                     ("exact_antijoin_s", "bloom_build_s",
+                      "bloom_prefilter_s", "bloom_fpr_est", "new")},
         "scaling": {
             f"cycle_core_wall_s_local[{n_small}]": cyc_small["wall_s"],
             f"cycle_core_wall_s_local[{CPUS}]": cyc_big["wall_s"],
