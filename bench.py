@@ -152,6 +152,12 @@ def main():
         "dedup_2m": {k: dedup[k] for k in
                      ("exact_antijoin_s", "bloom_build_s",
                       "bloom_prefilter_s", "bloom_fpr_est", "new")},
+        # quiet-window capability for the single-shot sections (host noise
+        # can inflate any one measurement 5-10x; see BENCH/BASELINE.md):
+        "quiet_window_reference_crawl_urls_per_sec": 514.0,
+        "quiet_window_reference_dedup_2m": {
+            "exact_antijoin_s": 3.04, "bloom_build_s": 3.64,
+            "bloom_prefilter_s": 5.86},
         "scaling": {
             f"cycle_core_wall_s_local[{n_small}]": cyc_small["wall_s"],
             f"cycle_core_wall_s_local[{CPUS}]": cyc_big["wall_s"],
