@@ -102,6 +102,31 @@ _KERNEL_OUT_SCHEMA = T.StructType([
     T.StructField("handlers_error", T.StringType()),
 ])
 
+METRICS_SCHEMA = T.StructType([
+    T.StructField("cycle_id", T.LongType()),
+    T.StructField("popped", T.LongType()),
+    T.StructField("links_found", T.LongType()),
+    T.StructField("links_new", T.LongType()),
+    T.StructField("dedup_hits", T.LongType()),
+    T.StructField("robots_denied", T.LongType()),
+    T.StructField("errors", T.LongType()),
+    T.StructField("cycle_time", T.DoubleType()),
+])
+
+
+def local_df(spark: SparkSession, rows: list[dict], schema: T.StructType) -> DataFrame:
+    """Small driver-side DataFrame from dict rows, Arrow-independent.
+
+    Builds tuples in schema order instead of going through pandas: a pandas
+    frame coerces a None+int column to float64, which a session WITHOUT
+    Arrow enabled rejects for IntegerType (FIELD_DATA_TYPE_UNACCEPTABLE —
+    the round-1 crawl_e2e driver failure). Tuples keep int/None as objects,
+    so the engine behaves identically under any session config.
+    """
+    names = [f.name for f in schema.fields]
+    return spark.createDataFrame([tuple(r[n] for n in names) for r in rows],
+                                 schema=schema)
+
 
 @dataclass
 class CrawlConfig:
@@ -219,7 +244,7 @@ class SparkCrawler:
                 r["next_fetch_time"] = s
         if not rows:
             return
-        df = self.spark.createDataFrame(pd.DataFrame(rows), schema=FRONTIER_SCHEMA)
+        df = local_df(self.spark, rows, FRONTIER_SCHEMA)
         if self.frontier is None:
             self.frontier = df
         else:
@@ -319,12 +344,11 @@ class SparkCrawler:
             robots_inserts = self._refresh_robots(batch)
         ph.mark('robots')
 
-        batch_pdf = pd.DataFrame([
+        batch_df = local_df(self.spark, [
             {"batch_idx": idx, "url": r["url"], "num_errors": int(r["num_errors"] or 0),
              "robots_key": urls_mod.robots_url(r["url"])}
             for idx, r in enumerate(batch)
-        ])
-        batch_df = self.spark.createDataFrame(batch_pdf, schema=T.StructType([
+        ], T.StructType([
             T.StructField("batch_idx", T.LongType()),
             T.StructField("url", T.StringType()),
             T.StructField("num_errors", T.IntegerType()),
@@ -436,13 +460,14 @@ class SparkCrawler:
         # (robots URL enqueued BEFORE the page's own links — Crawler.js:463-465)
         links_all = links_df.withColumn("source_order", F.lit(1))
         if robots_inserts:
-            robots_pdf = pd.DataFrame(
-                [{"batch_idx": bi, "link_idx": 0, "url": u} for bi, u in robots_inserts])
-            robots_links = self.spark.createDataFrame(robots_pdf, schema=T.StructType([
-                T.StructField("batch_idx", T.LongType()),
-                T.StructField("link_idx", T.LongType()),
-                T.StructField("url", T.StringType()),
-            ])).withColumn("source_order", F.lit(0))
+            robots_links = local_df(
+                self.spark,
+                [{"batch_idx": bi, "link_idx": 0, "url": u} for bi, u in robots_inserts],
+                T.StructType([
+                    T.StructField("batch_idx", T.LongType()),
+                    T.StructField("link_idx", T.LongType()),
+                    T.StructField("url", T.StringType()),
+                ])).withColumn("source_order", F.lit(0))
             links_all = robots_links.unionByName(links_all)
 
         ph.mark('plan')
@@ -494,11 +519,11 @@ class SparkCrawler:
         prev_max_seq = self.max_seq
 
         # --- upsert merge (S6: MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT)
-        upd_pdf = pd.DataFrame(
-            [{"u_url": r["url"], "batch_idx": r["batch_idx"],
-              "status_out": r["status_out"], "u_error_code": r["error_code"],
-              "u_error_message": r["error_message"]} for r in result_rows])
-        upd = self.spark.createDataFrame(upd_pdf, schema=T.StructType([
+        upd = local_df(self.spark, [
+            {"u_url": r["url"], "batch_idx": r["batch_idx"],
+             "status_out": r["status_out"], "u_error_code": r["error_code"],
+             "u_error_message": r["error_message"]} for r in result_rows
+        ], T.StructType([
             T.StructField("u_url", T.StringType()),
             T.StructField("batch_idx", T.LongType()),
             T.StructField("status_out", T.IntegerType()),
@@ -750,7 +775,7 @@ class SparkCrawler:
             # broadcast semi-join instead of a giant In() predicate
             # (isin with 1000+ hosts is a codegen-hostile expression)
             want_df = self.spark.createDataFrame(
-                pd.DataFrame({"url": current}), schema=T.StructType(
+                [(u,) for u in current], schema=T.StructType(
                     [T.StructField("url", T.StringType())]))
             rows = (self.web_pages
                     .join(F.broadcast(want_df), "url")
@@ -800,12 +825,12 @@ class SparkCrawler:
 
     def _flush_logs(self) -> None:
         if self._log_buffer:
-            self.crawl_log.append(self.spark.createDataFrame(
-                pd.DataFrame(self._log_buffer), schema=CRAWL_LOG_SCHEMA))
+            self.crawl_log.append(
+                local_df(self.spark, self._log_buffer, CRAWL_LOG_SCHEMA))
             self._log_buffer = []
         if self._metrics_buffer:
             self.metrics_log.append(
-                self.spark.createDataFrame(pd.DataFrame(self._metrics_buffer)))
+                local_df(self.spark, self._metrics_buffer, METRICS_SCHEMA))
             self._metrics_buffer = []
 
     # ------------------------------------------------------------------
