@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+BLOOM_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType()),
+    T.StructField("bitset", T.BinaryType()),
+    T.StructField("m", T.LongType()),
+    T.StructField("k", T.LongType()),
+    T.StructField("n_added", T.LongType()),
+])
+
+
 class PartitionedBloom:
     def __init__(self, partitions: int = 32, capacity: int = 1 << 20,
                  bits_per_key: int = 10):
@@ -44,6 +53,23 @@ class PartitionedBloom:
         self.k = max(1, int(round(bits_per_key * math.log(2))))
         self.bits = np.zeros((self.P, self.m // 8), dtype=np.uint8)
         self.n_added = 0
+        self._bc = None  # cached broadcast of self.bits (invalidated on add)
+
+    def _broadcast(self, spark: SparkSession):
+        """Broadcast the bit matrix ONCE and reuse it across probe calls /
+        cycles; add() invalidates. Without this every cycle re-shipped the
+        whole array to every executor."""
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(self.bits)
+        return self._bc
+
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass
+            self._bc = None
 
     # -- hashing (JVM-side) -------------------------------------------------
     def _with_hashes(self, df: DataFrame, col: str) -> DataFrame:
@@ -89,6 +115,8 @@ class PartitionedBloom:
             self.bits[r["pid"]] |= np.frombuffer(r["bitset"], dtype=np.uint8)
             total += r["n"]
         self.n_added += total
+        if total:
+            self._invalidate_broadcast()
         return total
 
     # -- probe ---------------------------------------------------------------
@@ -98,7 +126,7 @@ class PartitionedBloom:
         """Adds a boolean column: False ⇒ definitively never seen."""
         m, k = self.m, self.k
         probe = self._probe_positions
-        bc = spark.sparkContext.broadcast(self.bits)
+        bc = self._broadcast(spark)
 
         @F.pandas_udf(T.BooleanType())
         def test(h1: pd.Series, h2: pd.Series, pid: pd.Series) -> pd.Series:
@@ -113,12 +141,58 @@ class PartitionedBloom:
                 .withColumn(flag, test(F.col("_h1"), F.col("_h2"), F.col("_pid")))
                 .drop("_h1", "_h2", "_pid"))
 
+    def maybe_seen_flag_cogrouped(self, spark: SparkSession, df: DataFrame,
+                                  col: str = "url",
+                                  flag: str = "_maybe_seen") -> DataFrame:
+        """Co-partitioned probe — the parquet-artifact path: no driver-side
+        broadcast of the whole bit matrix. The bitset table is keyed by pid;
+        candidates shuffle by pid and each task receives ONLY its own
+        partition's bit array via cogroup. At 10^10 keys (~12 GB of bits)
+        the broadcast probe would ship the full matrix to every executor;
+        here each of the P partition arrays travels exactly once, to the
+        task that owns that url_hash range. Result is identical to
+        ``maybe_seen_flag``."""
+        probe = self._probe_positions
+        orig_cols = [f.name for f in df.schema.fields]
+        out_schema = T.StructType(list(df.schema.fields) +
+                                  [T.StructField(flag, T.BooleanType())])
+        bloom_df = spark.createDataFrame(
+            [(p, self.bits[p].tobytes()) for p in range(self.P)],
+            schema=T.StructType([T.StructField("pid", T.IntegerType()),
+                                 T.StructField("bitset", T.BinaryType())]))
+        hashed = self._with_hashes(df, col)
+
+        def probe_group(cand: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = cand[orig_cols].copy()
+            if not len(cand):
+                out[flag] = pd.Series([], dtype=bool)
+                return out
+            if not len(bits_pdf):
+                out[flag] = False
+                return out
+            bits = np.frombuffer(bits_pdf["bitset"].iloc[0], dtype=np.uint8)
+            pos = probe(cand["_h1"].to_numpy(), cand["_h2"].to_numpy())
+            byte = bits[pos >> 3]
+            hit = (byte & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[flag] = hit.all(axis=1)
+            return out
+
+        return (hashed.groupBy("_pid").cogroup(bloom_df.groupBy("pid"))
+                .applyInPandas(probe_group, schema=out_schema))
+
     def prefilter(self, spark: SparkSession, candidates: DataFrame,
-                  col: str, seen: DataFrame) -> DataFrame:
+                  col: str, seen: DataFrame,
+                  method: str = "broadcast") -> DataFrame:
         """Exact dedup with Bloom short-circuit: returns candidates NOT in
         ``seen`` — identical result to a plain left_anti join (no false
-        negatives), but only Bloom-positive rows reach the shuffle."""
-        flagged = self.maybe_seen_flag(spark, candidates, col).persist()
+        negatives), but only Bloom-positive rows reach the shuffle.
+        ``method="cogroup"`` probes via the co-partitioned bitset table
+        (scale path, no full-matrix broadcast)."""
+        if method == "cogroup":
+            flagged = self.maybe_seen_flag_cogrouped(
+                spark, candidates, col).persist()
+        else:
+            flagged = self.maybe_seen_flag(spark, candidates, col).persist()
         definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         verified_new = suspects.join(seen, col, "left_anti")
@@ -143,9 +217,28 @@ class PartitionedBloom:
         obj.k = int(pdf["k"].iloc[0])
         obj.n_added = int(pdf["n_added"].iloc[0])
         obj.bits = np.zeros((P, m // 8), dtype=np.uint8)
+        obj._bc = None
         for _, r in pdf.iterrows():
             obj.bits[int(r["pid"])] = np.frombuffer(r["bitset"], dtype=np.uint8)
         return obj
+
+    def to_df(self, spark: SparkSession) -> "DataFrame":
+        return spark.createDataFrame(
+            [(p, self.bits[p].tobytes(), self.m, self.k, self.n_added)
+             for p in range(self.P)],
+            schema=BLOOM_SCHEMA)
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "PartitionedBloom":
+        rows = df.collect()
+        pdf = pd.DataFrame({
+            "pid": [r["pid"] for r in rows],
+            "bitset": [bytes(r["bitset"]) for r in rows],
+            "m": [r["m"] for r in rows],
+            "k": [r["k"] for r in rows],
+            "n_added": [r["n_added"] for r in rows],
+        })
+        return cls.from_pandas(pdf)
 
     def fp_rate_estimate(self) -> float:
         """Expected false-positive rate from current fill factor."""

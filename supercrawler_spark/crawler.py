@@ -169,6 +169,8 @@ class CrawlConfig:
     use_bloom: bool = False              # Bloom-prefiltered dedup (scale path)
     bloom_partitions: int = 32
     bloom_capacity: int = 1 << 20
+    bloom_probe: str = "broadcast"       # "broadcast" | "cogroup" (no full-
+    # matrix broadcast: each task gets only its url_hash range's bit array)
     max_redirect_hops: int = 10          # robots fetch follows redirects
 
 
@@ -284,6 +286,18 @@ class SparkCrawler:
         self.cycle_time = meta["cycle_time"]
         self.host_delay = {h: tuple(v)
                            for h, v in meta.get("host_delay", {}).items()}
+        if self.config.use_bloom:
+            # restore the seen-filter — a fresh (empty) filter would mark
+            # already-crawled URLs "definitively new", bypass the exact
+            # anti-join, and re-insert duplicate frontier rows
+            from .bloom import PartitionedBloom
+            bloom_df = self.store.load(self.spark, "bloom")
+            if bloom_df is not None:
+                self._bloom = PartitionedBloom.from_df(bloom_df)
+            else:
+                self._bloom = PartitionedBloom(self.config.bloom_partitions,
+                                               self.config.bloom_capacity)
+                self._bloom.add(self.spark, self.frontier.select("url"))
         return True
 
     def _commit_snapshot(self) -> None:
@@ -307,8 +321,11 @@ class SparkCrawler:
             self.spark.conf.get("spark.sql.shuffle.partitions") and
             int(self.spark.conf.get("spark.sql.shuffle.partitions")) or 32,
             "host").sortWithinPartitions("next_fetch_time")
+        tables = {"frontier": frontier_out, "robots": robots_df}
+        if self._bloom is not None:
+            tables["bloom"] = self._bloom.to_df(self.spark)
         self.store.commit(
-            {"frontier": frontier_out, "robots": robots_df},
+            tables,
             meta={"cycle_id": self.cycle_id, "cycle_time": self.cycle_time,
                   "max_seq": self.max_seq,
                   "host_delay": {h: list(v) for h, v in self.host_delay.items()}},
@@ -485,7 +502,8 @@ class SparkCrawler:
         # anti-join against the seen set (= the whole frontier), Bloom-prefiltered
         seen = self.frontier.select("url")
         if self._bloom is not None:
-            links_unique = self._bloom.prefilter(self.spark, links_unique, "url", seen)
+            links_unique = self._bloom.prefilter(self.spark, links_unique, "url",
+                                                 seen, method=cfg.bloom_probe)
         else:
             links_unique = links_unique.join(seen, "url", "left_anti")
 

@@ -73,6 +73,84 @@ def test_crawler_with_bloom_matches_without(spark):
     assert results[0][1] == results[1][1]  # identical seen set
 
 
+def test_cogroup_prefilter_equals_exact_antijoin(spark, url_sets):
+    """The co-partitioned (no-broadcast) probe returns the identical set."""
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    got = {r["url"] for r in bloom.prefilter(
+        spark, cand, "url", seen, method="cogroup").collect()}
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    assert got == want
+
+
+def test_cogroup_flag_equals_broadcast_flag(spark, url_sets):
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    a = bloom.maybe_seen_flag(spark, cand, "url").toPandas() \
+             .set_index("url")["_maybe_seen"]
+    b = bloom.maybe_seen_flag_cogrouped(spark, cand, "url").toPandas() \
+             .set_index("url")["_maybe_seen"]
+    assert a.sort_index().equals(b.sort_index())
+
+
+def test_broadcast_cached_until_add(spark, url_sets):
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    bloom.maybe_seen_flag(spark, cand, "url").count()
+    bc1 = bloom._bc
+    bloom.maybe_seen_flag(spark, cand, "url").count()
+    assert bloom._bc is bc1          # reused across probe calls
+    bloom.add(spark, cand.limit(10))
+    assert bloom._bc is None         # invalidated by the add
+
+
+def test_bloom_resume_restores_seen_filter(spark):
+    """Kill/resume with use_bloom: the restored filter must keep flagging
+    already-crawled URLs, and the resumed run must equal the uninterrupted
+    one (a fresh empty filter would re-insert duplicates)."""
+    import tempfile
+
+    from supercrawler_spark import fixtures
+    from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+
+    def cfg():
+        return CrawlConfig(budget=4, use_bloom=True, bloom_partitions=4,
+                           bloom_capacity=1 << 12, checkpoint_every=1)
+
+    # uninterrupted
+    wd_a = tempfile.mkdtemp()
+    cr_a = SparkCrawler(spark, web_df, wd_a, cfg())
+    cr_a.seed(list(seeds["url"]))
+    cr_a.crawl(max_cycles=100)
+
+    # interrupted after 2 cycles, resumed in a fresh engine
+    wd_b = tempfile.mkdtemp()
+    cr_b1 = SparkCrawler(spark, web_df, wd_b, cfg())
+    cr_b1.seed(list(seeds["url"]))
+    cr_b1.crawl(max_cycles=2)
+    cr_b2 = SparkCrawler(spark, web_df, wd_b, cfg())
+    assert cr_b2.resume()
+    assert cr_b2._bloom is not None and cr_b2._bloom.n_added > 0
+    # restored filter still flags crawled URLs as maybe-seen
+    crawled = spark.createDataFrame([(u,) for _, _, u in cr_b1.crawl_order],
+                                    schema="url string")
+    flagged = cr_b2._bloom.maybe_seen_flag(spark, crawled, "url").toPandas()
+    assert flagged["_maybe_seen"].all()
+    cr_b2.crawl(max_cycles=100)
+
+    assert cr_b2.seen_urls() == cr_a.seen_urls()
+    # no duplicate frontier rows after resume
+    n_rows = cr_b2.frontier.count()
+    n_urls = cr_b2.frontier.select("url").distinct().count()
+    assert n_rows == n_urls
+
+
 def test_cuckoo_insert_lookup_delete():
     cf = CuckooFilter(capacity=1 << 12)
     hs = [hash(f"url-{i}") & 0x7FFFFFFFFFFFFFFF for i in range(2000)]
