@@ -254,10 +254,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """60-bit SimHash as pure JVM expressions (md5-keyed token hashes) —
+    oracle-checked: DuckDB computes the identical signature."""
     return DD.simhash(_t(spark, sf_dir, "documents"))
 
 
 def q_simhash_near_pairs(spark, sf_dir):
+    """Pigeonhole-complete near-pair generation: max_hamming+1 chunks, so
+    h=8 uses 9 bit-bands (the round-1 4x16-bit version silently missed
+    pairs beyond h=3)."""
     return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"),
                                  max_hamming=8)
 
@@ -290,9 +295,12 @@ def q_embedding_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
+    """Exact-complete pairs for the oracle; planned as a shuffle-replicated
+    nested loop (no BroadcastNestedLoopJoin). The scale path is
+    method='lsh' (bucket collisions only), recall-gated in pytest."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
-    return SIM.cosine_dup_pairs(emb, threshold=0.4)
+    return SIM.cosine_dup_pairs(emb, threshold=0.4, method="exact")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -398,6 +406,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+def _simhash_sig_cte() -> str:
+    """CTEs computing the 60-bit SimHash signature per doc — the exact
+    DuckDB twin of datapipe.dedup.simhash (md5→60-bit token hash, per-bit
+    majority sign)."""
+    h = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    sums = ", ".join(f"sum(({h} >> {j}) & 1) AS s{j}"
+                     for j in range(DD.SIMHASH_BITS))
+    terms = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n_tok THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(DD.SIMHASH_BITS))
+    return f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        agg AS (SELECT doc_id, count(*) AS n_tok, {sums} FROM ex GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id, ({terms})::BIGINT AS simhash FROM agg
+          UNION ALL
+          SELECT doc_id, 0::BIGINT AS simhash FROM tk WHERE len(toks) = 0
+        )
+    """
+
+
+def _simhash_sql() -> str:
+    return _simhash_sig_cte() + "SELECT doc_id, simhash FROM sig"
+
+
+def _simhash_near_pairs_sql(max_hamming: int = 8) -> str:
+    defs = DD._chunk_defs(DD.SIMHASH_BITS, max_hamming + 1)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+        f"(simhash >> {off}) & {(1 << w) - 1} AS chunk_val FROM sig"
+        for c, (off, w) in enumerate(defs))
+    return _simhash_sig_cte() + f""",
+        banded AS ({bands})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
 
 def _lang_score_sql(lang: str) -> str:
     words = TX.LANG_MARKERS[lang]
@@ -561,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
                          4) AS jaccard_next
             FROM tk a JOIN tk b ON b.id = a.id + 1
         """,
+        "simhash": _simhash_sql(),
+        "simhash_near_pairs": _simhash_near_pairs_sql(8),
         "lang_id": _lang_id_sql(),
         "quality_score": f"""
             SELECT doc_id,

@@ -144,59 +144,75 @@ def token_jaccard_adjacent(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# SimHash (numpy pandas UDF — 64-bit sign-sum isn't SQL-expressible)
+# SimHash — pure JVM column expressions (60-bit, md5-keyed) with an exact
+# ANSI-SQL oracle twin; no Python in the hot path
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens: per-token deterministic 64-bit
-    hash (two crc32 halves — C-speed, process-independent), sign-sum per
-    bit vectorized in numpy. Near-dup docs differ in few bits."""
-    from zlib import crc32
-
-    shifts = np.arange(64, dtype=np.uint64)
-    weights = (np.uint64(1) << shifts)
-    out = np.empty(len(texts), dtype=np.int64)
-    cache: dict[str, int] = {}
-    for i, text in enumerate(texts):
-        if not text:
-            out[i] = 0
-            continue
-        toks = str(text).lower().split()
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = cache.get(tok)
-            if h is None:
-                b = tok.encode()
-                h = (crc32(b) << 32) | crc32(b + b"#")
-                cache[tok] = h
-            hs[j] = h
-        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 64)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        val = int((weights[acc > 0]).sum())
-        out[i] = val - (1 << 64) if val >= (1 << 63) else val
-    return pd.Series(out)
+SIMHASH_BITS = 60  # 15 md5 hex chars → non-negative BIGINT in both engines
 
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    """60-bit SimHash over whitespace tokens, entirely as JVM expressions:
+    explode tokens once, per-bit sign-sums as 60 partial-agg columns
+    (map-side combine, one shuffle on the doc id), then assemble the
+    signature. Token hash = md5→60-bit (md5_long), so DuckDB computes the
+    identical signature — the SQL twin lives in __spark_entry__.oracle_sql.
+    Bit j is set iff strictly more than half the token hashes have bit j
+    set (ties → 0). Empty/token-less docs get simhash 0."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+    h = md5_long(F.col("tok"))
+    aggs = [F.count(F.col("tok")).alias("n_tok")] + [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)))
+         .alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy(id_col).agg(*aggs)
+    value = None
+    for j in range(SIMHASH_BITS):
+        bit_set = (F.coalesce(F.col(f"s{j}"), F.lit(0)) * 2) > F.col("n_tok")
+        term = F.when(bit_set, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return agg.select(F.col(id_col), value.alias("simhash"))
+
+
+def _chunk_defs(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths as even as possible."""
+    base, rem = divmod(bits, n_chunks)
+    out, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 16-bit
-    chunks (a pair within hamming<=3 of 64 bits must agree on at least one
-    of 4 16-bit chunks — pigeonhole), so no O(n^2) comparison."""
+    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on
+    ``max_hamming + 1`` bit-chunks: a pair differing in at most h of the 60
+    bits has its differences spread over at most h chunks, so with h+1
+    chunks at least one chunk matches exactly (pigeonhole) — COMPLETE
+    candidate generation for any h <= 59, and only bucket collisions are
+    joined (never the O(n^2) pair space). Note the chunk width shrinks as h
+    grows (60/(h+1) bits → more collisions to verify); brute-force
+    completeness is pinned by tests/test_datapipe.py."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
+    n_chunks = max_hamming + 1
+    defs = _chunk_defs(SIMHASH_BITS, n_chunks)
     sig = simhash(df, text_col, id_col)
-    chunks = [(F.shiftrightunsigned(F.col("simhash"), 16 * c)
-               .bitwiseAND(F.lit(0xFFFF))).alias("chunk_val")
-              for c in range(4)]
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk_idx"),
+                 (F.shiftrightunsigned(F.col("simhash"), off)
+                  .bitwiseAND(F.lit((1 << w) - 1))).alias("chunk_val"))
+        for c, (off, w) in enumerate(defs)
+    ]
     exploded = sig.select(
         F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*[F.struct(F.lit(c).alias("chunk_idx"),
-                                     chunks[c].alias("chunk_val"))
-                            for c in range(4)])).alias("ch"))
+        F.explode(F.array(*chunk_structs)).alias("ch"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (a.join(b, (F.col("a.ch") == F.col("b.ch"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -205,7 +221,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                       F.col("a.simhash").alias("sh_a"),
                       F.col("b.simhash").alias("sh_b"))
               .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))

@@ -54,15 +54,61 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.99,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     round_to: int = 4) -> DataFrame:
-    """Embedding near-duplicate pairs (cos >= threshold), id_a < id_b."""
+                     round_to: int = 4, method: str = "lsh",
+                     dim: int | None = None, n_planes: int = 8,
+                     n_tables: int = 8) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold), id_a < id_b.
+
+    method="lsh" (default, the scale path): candidate pairs come from
+    hyperplane-LSH bucket collisions across ``n_tables`` independent tables
+    and only collisions get the exact-cosine verify — no all-pairs join
+    ever. Recall depends on the threshold (high-cos near-dups collide with
+    probability (1-θ/π)^n_planes per table); pinned by a planted-near-dup
+    recall test in tests/test_datapipe.py.
+
+    method="exact": complete O(n²) verify, but planned as a
+    shuffle-replicated nested loop (both sides stay partitioned — no
+    BroadcastNestedLoopJoin shipping one whole side to every executor).
+    Use for oracle checks / modest n only.
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")),
-                                        round_to))
-             .filter(F.col("cos") >= threshold)
-             .select("id_a", "id_b", "cos"))
+    if method == "exact":
+        pairs = a.hint("shuffle_replicate_nl").join(
+            b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            first = df.select(vec_col).first()
+            dim = len(first[0])
+        sigs = [make_hyperplane_udf(dim, n_planes, seed=7 + 1000 * t)
+                for t in range(n_tables)]
+
+        def with_buckets(frame, id_alias, vec_alias):
+            out = frame.select(F.col(id_col).alias(id_alias),
+                               F.col(vec_col).alias(vec_alias))
+            for t, udf in enumerate(sigs):
+                out = out.withColumn(f"_b{t}", udf(F.col(vec_alias)))
+            return out.select(
+                id_alias, vec_alias,
+                F.explode(F.array(*[
+                    F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b"))
+                    for t in range(n_tables)])).alias("bucket"))
+
+        aa = with_buckets(df, "id_a", "v_a")
+        bb = with_buckets(df, "id_b", "v_b")
+        pairs = (aa.join(bb, "bucket")
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "v_a", "id_b", "v_b"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    out = (pairs
+           .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")),
+                                      round_to))
+           .filter(F.col("cos") >= threshold)
+           .select("id_a", "id_b", "cos"))
+    # LSH candidates repeat across tables: dedupe AFTER the threshold filter
+    # (far fewer rows) instead of a distinct over vector-carrying candidates
+    return out.distinct() if method == "lsh" else out
 
 
 # ---------------------------------------------------------------------------

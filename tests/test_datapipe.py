@@ -73,6 +73,29 @@ def test_simhash_near_pairs(docs):
     assert (4, 5) not in pairs
 
 
+def test_simhash_near_pairs_complete_at_h8(spark, sf_dir):
+    """Pigeonhole completeness: banding with max_hamming+1 chunks must find
+    EVERY pair within hamming<=8 (round-1's 4x16-bit chunks only guaranteed
+    h<=3 and silently dropped farther pairs). Brute-force over all C(n,2)
+    signature pairs is the ground truth."""
+    from itertools import combinations
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = sorted((r["doc_id"], r["simhash"])
+                  for r in DD.simhash(docs).collect())
+    want = {(a, b, bin(sa ^ sb).count("1"))
+            for (a, sa), (b, sb) in combinations(sigs, 2)
+            if bin(sa ^ sb).count("1") <= 8}
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in DD.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert got == want
+    assert len(want) > 0  # the corpus must actually exercise the operator
+
+
+def test_simhash_bad_hamming_raises(docs):
+    with pytest.raises(ValueError):
+        DD.simhash_near_pairs(docs, max_hamming=DD.SIMHASH_BITS)
+
+
 def test_lang_id(docs, spark):
     out = {r["doc_id"]: r["pred_lang"]
            for r in docs.select("doc_id",
@@ -114,6 +137,40 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     approx_set = {(r["q_id"], r["n_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"ANN recall {recall}"
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    """200 random unit-ish vectors + 20 perturbed near-copies (cos ≈ 0.99)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for j in range(20):
+        noisy = base[j] + 0.05 * rng.standard_normal(32)
+        rows.append((1000 + j, noisy.tolist()))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_dup_pairs_exact_no_broadcast_nested_loop(planted_vecs):
+    df = SIM.cosine_dup_pairs(planted_vecs, threshold=0.95, method="exact")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert len(got) >= 20  # every planted copy pairs with its base
+
+
+def test_cosine_dup_pairs_lsh_recall(planted_vecs):
+    """LSH candidates (bucket collisions only) must find ≥90% of the true
+    near-dup pairs and produce NO pairs the exact join doesn't."""
+    exact = {(r["id_a"], r["id_b"]) for r in SIM.cosine_dup_pairs(
+        planted_vecs, threshold=0.95, method="exact").collect()}
+    lsh_df = SIM.cosine_dup_pairs(planted_vecs, threshold=0.95, method="lsh",
+                                  dim=32, n_planes=8, n_tables=8)
+    plan = _plan(lsh_df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert lsh <= exact                      # no false positives
+    assert len(lsh) / max(len(exact), 1) >= 0.9, (len(lsh), len(exact))
 
 
 def test_multimodal_decode_and_corrupt_row(spark):
