@@ -10,15 +10,17 @@ text analysis, multimodal payload plumbing) a 100 TB crawl corpus needs.
 
 from .crawler import CrawlConfig, SparkCrawler
 from .facade import Crawler
-from .handlers import (HandlerRegistry, default_registry, html_link_parser,
-                       robots_parser, sitemaps_parser)
+from .handlers import (HandlerRegistry, HandlersError, default_registry,
+                       html_link_parser, robots_parser, sitemaps_parser)
 from .oracle import OracleConfig, OracleCrawler, web_pages_dict
+from .records import HttpError, RequestError, RobotsNotAllowedError, Url
 from .session import get_spark
 
 __all__ = [
     "CrawlConfig", "SparkCrawler", "Crawler", "HandlerRegistry", "default_registry",
     "html_link_parser", "robots_parser", "sitemaps_parser",
     "OracleConfig", "OracleCrawler", "web_pages_dict", "get_spark",
+    "Url", "RobotsNotAllowedError", "HttpError", "RequestError", "HandlersError",
 ]
 
 __version__ = "0.1.0"

@@ -150,8 +150,15 @@ class CrawlConfig:
     robots_enabled: bool = True          # Crawler.js robotsEnabled
     robots_ignore_server_error: bool = False  # Crawler.js robotsIgnoreServerError
     robots_cache_ttl_ms: float = 3600000.0    # Crawler.js:16,38-40
-    user_agent: str = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
-                       "+https://github.com/brendonboshell/supercrawler)")
+    user_agent: object = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
+                          "+https://github.com/brendonboshell/supercrawler)")
+    # str, or a callable url -> str (Crawler.js:30-34,85-90 — the reference
+    # accepts a userAgent function, consulted per URL for robots checks and
+    # request headers)
+    collect_links: bool = False
+    # per-page discovered-link lists collected into CycleStats.page_links —
+    # powers the facade's reference `links` event (Crawler.js:260); opt-in
+    # because it ships every cycle's links to the driver
     initial_retry_ms: float = HOUR_MS    # DbUrlList.js:81
     recrawl_ms: float = YEAR_MS          # DbUrlList.js:7,36
     checkpoint_every: int = 8            # parquet snapshot cadence (cycles)
@@ -194,6 +201,8 @@ class CycleStats:
     errors: int = 0
     events: list = field(default_factory=list)
     results: list = field(default_factory=list)  # per-row outcomes (driver)
+    page_links: dict = field(default_factory=dict)  # batch_idx → [links]
+    # (only populated when config.collect_links — the facade `links` event)
 
 
 class SparkCrawler:
@@ -418,6 +427,11 @@ class SparkCrawler:
         links_df = (kernel_out
                     .filter(F.col("link").isNotNull())
                     .select("batch_idx", "link_idx", F.col("link").alias("url")))
+        if cfg.collect_links:
+            # reference `links` event payload (Crawler.js:260): the page's
+            # discovered links in handler order, before dedup
+            for r in links_df.orderBy("batch_idx", "link_idx").collect():
+                stats.page_links.setdefault(r["batch_idx"], []).append(r["url"])
 
         # --- per-row outcome fold (error taxonomy, Crawler.js:283-314) ------
         # all inputs are batch-sized: batch_df (local), found's status

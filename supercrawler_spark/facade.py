@@ -26,10 +26,12 @@ Option mapping onto the batch engine:
 
 Events emitted (reference names + argument shapes, Crawler.js:222-316):
 crawlurl(url), crawledurl(url, errorCode, statusCode, errorMessage),
-redirect(url, location), httpError(statusCode, url),
+redirect(url, location), links(url, links), httpError(statusCode, url),
 handlersError(message), urllistempty(), urllistcomplete().
-(The reference's links(url, links) event requires per-page link lists on
-the driver; register a listener and the engine collects them — opt-in cost.)
+links(url, links) fires for every page that reached the link stage
+(redirects carry [resolved location], handler pages their discovered links,
+possibly []); registering a links listener opts the engine into collecting
+per-page link lists on the driver (Crawler.js:260).
 """
 
 from __future__ import annotations
@@ -55,8 +57,11 @@ class UrlListView:
         self._crawler._queue_url(str(url))
 
     def insert_if_not_exists_bulk(self, urls) -> None:
-        for u in urls:
-            self.insert_if_not_exists(u)
+        """One batched seed pass — the reference bulk API exists for
+        50k-URL sitemap batches (lib/DbUrlList.js:123-139); seed() dedups
+        and anti-joins the whole list in a single Spark job."""
+        self._crawler._queue_urls(
+            [str(getattr(u, "url", u)) for u in urls])
 
 
 class Crawler:
@@ -67,8 +72,9 @@ class Crawler:
                  robots_enabled: bool = True,
                  robots_ignore_server_error: bool = False,
                  robots_cache_time: float = 3600000.0,
-                 user_agent: str | None = None,
+                 user_agent=None,
                  url_list: str = "db",
+                 request: dict | None = None,
                  **engine_opts):
         import tempfile
         if url_list not in _URL_LIST_MODES:
@@ -76,6 +82,9 @@ class Crawler:
         self._spark = spark
         self._web_pages = web_pages
         self._workdir = workdir or tempfile.mkdtemp(prefix="supercrawler-")
+        # opts.request — merged into every HTTP call by the production
+        # fetch stage (lib/Crawler.js:42,98-100,382-394)
+        self._request = request or {}
         kw = dict(
             interval_ms=float(interval),
             budget=int(concurrent_requests_limit),
@@ -84,10 +93,15 @@ class Crawler:
             robots_ignore_server_error=robots_ignore_server_error,
             robots_cache_ttl_ms=float(robots_cache_time),
         )
-        if url_list == "redis" and "virtual_start_ms" not in engine_opts:
-            kw["virtual_start_ms"] = 1e12  # Redis scores live in epoch-ms space
+        if url_list == "redis":
+            if "virtual_start_ms" not in engine_opts:
+                kw["virtual_start_ms"] = 1e12  # Redis scores live in epoch-ms space
+            if "recrawl_ms" not in engine_opts:
+                # RedisUrlList expiryTimeMs default is 30 days, not the
+                # DbUrlList 1-year recrawl (lib/RedisUrlList.js:7,22)
+                kw["recrawl_ms"] = 30 * 86400000.0
         if user_agent is not None:
-            kw["user_agent"] = user_agent
+            kw["user_agent"] = user_agent  # str or callable url -> str
         kw.update(engine_opts)
         self._config = CrawlConfig(**kw)
         self._registry = HandlerRegistry()
@@ -110,6 +124,17 @@ class Crawler:
     def get_url_list(self) -> UrlListView:
         return UrlListView(self)
 
+    def get_request_options(self) -> dict:
+        """Custom options merged into every HTTP call (Crawler.js:98-100);
+        consumed by webfetch.fetch_stage in production."""
+        return self._request
+
+    def get_user_agent(self, url: str) -> str:
+        """Reference getUserAgent(url) — callable userAgent consulted per
+        URL (Crawler.js:85-90)."""
+        ua = self._config.user_agent
+        return ua(url) if callable(ua) else ua
+
     def queue_url(self, url: str) -> "Crawler":
         self._queue_url(url)
         return self
@@ -130,6 +155,10 @@ class Crawler:
         if self._started:
             return  # re-entry guard (Crawler.js:108-113)
         self._started = True
+        if self._listeners.get("links"):
+            # opt-in: ship each cycle's discovered links to the driver so
+            # the reference `links(url, links)` event can fire
+            self._config.collect_links = True
         eng = self.engine
         if self._pending_seeds:
             eng.seed(self._pending_seeds)
@@ -143,8 +172,10 @@ class Crawler:
                 for _, _, url in eng.crawl_order[before:]:
                     self._emit("crawlurl", url)
                 for r in sorted(stats.results, key=lambda r: r["batch_idx"]):
-                    self._emit("crawledurl", r["url"], r["error_code"],
-                               r["status_out"], r["error_message"])
+                    # per-URL event order mirrors _processUrl
+                    # (Crawler.js:216-320): redirect/handlersError/httpError
+                    # fire during processing, links after handler success,
+                    # crawledurl last
                     status = r["status_out"]
                     if r["error_code"] == "HTTP_ERROR":
                         self._emit("httpError", status, r["url"])
@@ -152,6 +183,15 @@ class Crawler:
                         self._emit("handlersError", r["error_message"])
                     elif status is not None and 300 <= status < 400:
                         self._emit("redirect", r["url"], r["f_location"])
+                    if r["error_code"] is None:
+                        # links fires for every page that reached the link
+                        # stage — redirects ([resolved location]) and
+                        # handler results, including empty ones
+                        # (Crawler.js:260)
+                        self._emit("links", r["url"],
+                                   stats.page_links.get(r["batch_idx"], []))
+                    self._emit("crawledurl", r["url"], r["error_code"],
+                               r["status_out"], r["error_message"])
             for event, arg in stats.events:
                 self._emit(event) if arg is None else self._emit(event, arg)
             if stats.popped == 0 and not stats.fast_forwarded:
@@ -164,10 +204,13 @@ class Crawler:
 
     # -- internals ------------------------------------------------------------
     def _queue_url(self, url: str) -> None:
+        self._queue_urls([url])
+
+    def _queue_urls(self, urls: list) -> None:
         if self._engine is None:
-            self._pending_seeds.append(url)
+            self._pending_seeds.extend(urls)
         else:
-            self._engine.seed([url])
+            self._engine.seed(list(urls))  # one job for the whole batch
 
     def _emit(self, event: str, *args) -> None:
         for fn in self._listeners.get(event, []):

@@ -111,10 +111,13 @@ def normalize_content_type_udf(content_type: pd.Series, url: pd.Series) -> pd.Se
     )
 
 
-def make_robots_allowed_udf(user_agent: str):
+def make_robots_allowed_udf(user_agent):
     """robots.isAllowed(url, userAgent) — Crawler.js:421-436 — vectorized
     with a per-batch parse cache (each distinct robots_txt parsed once per
-    Arrow batch; the robots dimension is broadcast so batches share hosts)."""
+    Arrow batch; the robots dimension is broadcast so batches share hosts).
+    ``user_agent`` may be a callable url -> str, like the reference's
+    userAgent function option (Crawler.js:85-90, consulted per URL)."""
+    ua_fn = user_agent if callable(user_agent) else None
 
     @F.pandas_udf(T.BooleanType())
     def robots_allowed(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
@@ -128,7 +131,8 @@ def make_robots_allowed_udf(user_agent: str):
             if parsed is None:
                 parsed = robots_mod.RobotsTxt(txt)
                 cache[txt] = parsed
-            out.append(parsed.is_allowed(u, user_agent))
+            ua = ua_fn(u) if ua_fn is not None else user_agent
+            out.append(parsed.is_allowed(u, ua))
         return pd.Series(out, dtype="boolean")
 
     return robots_allowed

@@ -34,29 +34,49 @@ DEFAULT_UA = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
               "+https://github.com/brendonboshell/supercrawler)")
 
 
-def _default_transport(session, url, user_agent, follow_redirects, timeout_s):
-    """One HTTP GET → (status, content_type, location, body) or raises."""
-    resp = session.get(
-        url,
-        headers={"User-Agent": user_agent},
-        allow_redirects=follow_redirects,   # pages: False (Crawler.js:445)
-        timeout=timeout_s,
-        stream=False,
-    )
+def merge_request_options(defaults: dict, request_opts: dict | None) -> dict:
+    """Deep-merge user request options over the per-request defaults — the
+    reference merges ``opts.request`` into every HTTP call
+    (lib/Crawler.js:382-394, lodash _.merge: nested dicts merge, user keys
+    win)."""
+    out = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in defaults.items()}
+    for k, v in (request_opts or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
+
+
+def _default_transport(session, url, options):
+    """One HTTP GET → (status, content_type, location, body) or raises.
+    ``options`` is the merged request-option dict (headers, allow_redirects,
+    timeout, plus any user-supplied requests kwargs)."""
+    resp = session.get(url, stream=False, **options)
     return (resp.status_code,
             resp.headers.get("Content-Type"),
             resp.headers.get("Location"),
             resp.content)
 
 
-def fetch_stage(batch_df: DataFrame, user_agent: str = DEFAULT_UA,
+def fetch_stage(batch_df: DataFrame, user_agent=DEFAULT_UA,
                 follow_redirects: bool = False, timeout_s: float = 30.0,
                 max_body_bytes: int = 16 * 1024 * 1024,
+                request_opts: dict | None = None,
                 transport=None) -> DataFrame:
     """(batch_idx, url) → fetched rows, one pooled session per worker.
-    ``transport`` is injectable for tests (and is how the sandbox stubs the
-    network)."""
+
+    - ``user_agent`` may be a callable url -> str (reference userAgent
+      function option, Crawler.js:30-34,85-90).
+    - ``request_opts`` is merged over the per-request defaults exactly like
+      the reference's ``opts.request`` (Crawler.js:382-394) — custom
+      headers deep-merge, scalars override.
+    - ``transport(session, url, options)`` is injectable for tests (and is
+      how the sandbox stubs the network).
+    """
     tp = transport or _default_transport
+    ua_fn = user_agent if callable(user_agent) else None
 
     def kernel(batches):
         session = None
@@ -70,9 +90,15 @@ def fetch_stage(batch_df: DataFrame, user_agent: str = DEFAULT_UA,
         for pdf in batches:
             rows = []
             for bi, url in zip(pdf["batch_idx"], pdf["url"]):
+                ua = ua_fn(url) if ua_fn is not None else user_agent
+                options = merge_request_options(
+                    {"headers": {"User-Agent": ua},
+                     # pages: False; robots fetch: True (Crawler.js:380-392)
+                     "allow_redirects": follow_redirects,
+                     "timeout": timeout_s},
+                    request_opts)
                 try:
-                    status, ct, loc, body = tp(session, url, user_agent,
-                                               follow_redirects, timeout_s)
+                    status, ct, loc, body = tp(session, url, options)
                     if body is not None and len(body) > max_body_bytes:
                         body = body[:max_body_bytes]
                     rows.append((bi, url, int(status), ct, loc, body))

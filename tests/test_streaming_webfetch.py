@@ -53,8 +53,8 @@ def test_fetch_stage_shapes_and_errors(spark):
         "http://a.example/redir": (301, "text/html", "http://a.example/ok", b""),
     }
 
-    def stub_transport(session, url, ua, follow, timeout):
-        assert ua.startswith("Mozilla/5.0")
+    def stub_transport(session, url, options):
+        assert options["headers"]["User-Agent"].startswith("Mozilla/5.0")
         if url not in pages:
             raise ConnectionError("refused")
         return pages[url]
@@ -68,3 +68,47 @@ def test_fetch_stage_shapes_and_errors(spark):
     assert bytes(out["http://a.example/gz"]["f_body"])[:2] == b"\x1f\x8b"
     assert out["http://a.example/redir"]["f_location"] == "http://a.example/ok"
     assert out["http://a.example/dead"]["f_status"] is None
+
+
+def test_fetch_stage_request_opts_and_callable_ua(spark):
+    """Reference parity: opts.request merges into every HTTP call
+    (Crawler.js:382-394, test Crawler.spec.js:701-723) and userAgent may be
+    a function of the URL (Crawler.js:30-34, spec:202-216)."""
+    import json
+
+    def stub_transport(session, url, options):
+        # runs on executors — surface the merged options via the body
+        return (200, "application/json", None, json.dumps(options).encode())
+
+    batch = spark.createDataFrame(
+        [(0, "http://a.example/p1"), (1, "http://b.example/p2")],
+        ["batch_idx", "url"])
+    rows = webfetch.fetch_stage(
+        batch,
+        user_agent=lambda u: f"bot-for-{u.split('/')[2]}",
+        request_opts={"headers": {"X-Custom": "yes"},
+                      "timeout": 5.0, "verify": False},
+        transport=stub_transport).collect()
+    assert len(rows) == 2
+    seen = {r["url"]: json.loads(bytes(r["f_body"])) for r in rows}
+    opts_a = seen["http://a.example/p1"]
+    # callable UA consulted per URL
+    assert opts_a["headers"]["User-Agent"] == "bot-for-a.example"
+    assert seen["http://b.example/p2"]["headers"]["User-Agent"] == "bot-for-b.example"
+    # custom headers deep-merge with defaults; scalars override
+    assert opts_a["headers"]["X-Custom"] == "yes"
+    assert opts_a["timeout"] == 5.0 and opts_a["verify"] is False
+    assert opts_a["allow_redirects"] is False
+
+
+def test_merge_request_options_nested():
+    merged = webfetch.merge_request_options(
+        {"headers": {"User-Agent": "ua"}, "timeout": 30.0},
+        {"headers": {"Accept": "text/html"}, "timeout": 1.0})
+    assert merged == {"headers": {"User-Agent": "ua", "Accept": "text/html"},
+                      "timeout": 1.0}
+    # no request_opts → defaults unchanged, and a copy (no aliasing)
+    base = {"headers": {"User-Agent": "ua"}}
+    out = webfetch.merge_request_options(base, None)
+    out["headers"]["X"] = "y"
+    assert "X" not in base["headers"]
