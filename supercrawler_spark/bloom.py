@@ -195,7 +195,13 @@ class PartitionedBloom:
             flagged = self.maybe_seen_flag(spark, candidates, col).persist()
         definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        verified_new = suspects.join(seen, col, "left_anti")
+        # exact verify WITHOUT shuffling the seen table: the (few) suspects
+        # broadcast into a streaming left_semi scan of seen, and the hits
+        # broadcast back for the anti — the 10^10-row seen side is read
+        # once, column-pruned, never exchanged
+        hits = seen.join(F.broadcast(suspects.select(col).distinct()),
+                         col, "left_semi")
+        verified_new = suspects.join(F.broadcast(hits), col, "left_anti")
         return definite_new.unionByName(verified_new)
 
     # -- persistence ----------------------------------------------------------

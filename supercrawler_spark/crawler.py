@@ -102,6 +102,14 @@ _KERNEL_OUT_SCHEMA = T.StructType([
     T.StructField("handlers_error", T.StringType()),
 ])
 
+ROBOTS_SCHEMA = T.StructType([
+    T.StructField("robots_key", T.StringType()),
+    T.StructField("robots_txt", T.StringType()),
+    T.StructField("deny_status", T.IntegerType()),
+    T.StructField("req_err", T.BooleanType()),
+    T.StructField("fetched_at", T.DoubleType()),
+])
+
 METRICS_SCHEMA = T.StructType([
     T.StructField("cycle_id", T.LongType()),
     T.StructField("popped", T.LongType()),
@@ -150,6 +158,10 @@ class CrawlConfig:
     robots_enabled: bool = True          # Crawler.js robotsEnabled
     robots_ignore_server_error: bool = False  # Crawler.js robotsIgnoreServerError
     robots_cache_ttl_ms: float = 3600000.0    # Crawler.js:16,38-40
+    robots_memo_size: int = 10000
+    # driver-side LRU over the robots TABLE (the table is the source of
+    # truth, carried in snapshots; the memo only bounds repeat lookups —
+    # web-scale host counts never accumulate on the driver)
     user_agent: object = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
                           "+https://github.com/brendonboshell/supercrawler)")
     # str, or a callable url -> str (Crawler.js:30-34,85-90 — the reference
@@ -218,8 +230,22 @@ class SparkCrawler:
         self.store = SnapshotStore(os.path.join(workdir, "snapshots"))
         self.crawl_log = AppendLog(os.path.join(workdir, "crawl_log"))
         self.metrics_log = AppendLog(os.path.join(workdir, "metrics"))
-        self.frontier: DataFrame | None = None
-        self.robots_cache: dict[str, _RobotsEntry] = {}
+        # LSM-style frontier (SURVEY.md O1/O2): `_base` is the big immutable
+        # layer — parquet-backed after each snapshot commit so the due-scan
+        # pushes its predicate into row-group min/max pruning — and `_delta`
+        # holds the current row for every key touched since the last
+        # compaction (batch-bounded per cycle). Per-cycle cost is O(batch +
+        # |delta|), NOT O(|frontier|); compaction is amortized over
+        # checkpoint_every cycles (Iceberg MERGE-on-read, emulated).
+        self._base: DataFrame | None = None
+        self._delta: DataFrame | None = None
+        # robots state: host-keyed TABLE (snapshot-carried, parquet-backed
+        # after each commit) + a bounded LRU memo + the dirty entries since
+        # the last snapshot. The driver never holds all hosts at once.
+        from collections import OrderedDict
+        self.robots_cache: "OrderedDict[str, _RobotsEntry]" = OrderedDict()
+        self._robots_base: DataFrame | None = None
+        self._robots_dirty: dict[str, _RobotsEntry] = {}
         self.max_seq: int = -1
         self.cycle_id: int = 0
         self.cycle_time: float = self.config.virtual_start_ms
@@ -232,6 +258,56 @@ class SparkCrawler:
             from .bloom import PartitionedBloom
             self._bloom = PartitionedBloom(self.config.bloom_partitions,
                                            self.config.bloom_capacity)
+
+    # ------------------------------------------------------------------
+    # frontier view (base ∪ delta, delta wins)
+    # ------------------------------------------------------------------
+    @property
+    def frontier(self) -> DataFrame | None:
+        """Merge-on-read view of the frontier: delta rows supersede base
+        rows. The anti-join is keyed on the (small, broadcast) delta key
+        set, so reading the view never shuffles the base layer."""
+        if self._base is None:
+            return self._delta
+        if self._delta is None:
+            return self._base
+        cols = [f.name for f in FRONTIER_SCHEMA]
+        live_base = self._base.join(
+            F.broadcast(self._delta.select("url")), "url", "left_anti")
+        return live_base.select(*cols).unionByName(self._delta.select(*cols))
+
+    def _apply_changes(self, changes: DataFrame) -> None:
+        """Fold a batch of upserted rows (current full rows for touched
+        keys) into the delta layer — one eager localCheckpoint of
+        O(batch + |delta|) rows; the base layer is untouched."""
+        cols = [f.name for f in FRONTIER_SCHEMA]
+        if self._delta is None:
+            merged = changes.select(*cols)
+        else:
+            kept = self._delta.join(
+                F.broadcast(changes.select("url")), "url", "left_anti")
+            merged = changes.select(*cols).unionByName(kept.select(*cols))
+        self._delta = merged.localCheckpoint(eager=True)
+
+    def _minus_seen(self, links: DataFrame, seen: DataFrame) -> DataFrame:
+        """links − seen WITHOUT shuffling the seen side. A plain left_anti
+        with a 10^10-row right side shuffles the whole frontier every cycle;
+        here the politeness-bounded links broadcast INTO the seen scan
+        (left_semi streams the frontier through a broadcast hash join → the
+        few hits), and the hits broadcast back for the anti. Net cost: one
+        column-pruned scan of seen, zero frontier shuffle."""
+        keys = links.select("url").distinct()
+        hits = seen.join(F.broadcast(keys), "url", "left_semi")
+        return links.join(F.broadcast(hits), "url", "left_anti")
+
+    def _compact(self) -> None:
+        """Rebase onto the last committed snapshot: the parquet just
+        written becomes the base layer (scan-pruned by next_fetch_time
+        row-group stats) and the delta resets."""
+        base = self.store.load(self.spark, "frontier")
+        if base is not None:
+            self._base = base
+            self._delta = None
 
     # ------------------------------------------------------------------
     # seeding / resume
@@ -256,12 +332,10 @@ class SparkCrawler:
         if not rows:
             return
         df = local_df(self.spark, rows, FRONTIER_SCHEMA)
-        if self.frontier is None:
-            self.frontier = df
-        else:
-            incoming = df.join(self.frontier.select("url"), "url", "left_anti")
-            self.frontier = self.frontier.unionByName(incoming.select(*[f.name for f in FRONTIER_SCHEMA]))
-        self.frontier = self.frontier.localCheckpoint(eager=True)
+        view = self.frontier
+        if view is not None:
+            df = self._minus_seen(df, view.select("url"))
+        self._apply_changes(df)
         if self._bloom is not None:
             self._bloom.add(self.spark, df.select("url"))
 
@@ -283,13 +357,15 @@ class SparkCrawler:
         if manifest is None:
             return False
         meta = manifest["meta"]
-        self.frontier = self.store.load(self.spark, "frontier").localCheckpoint(eager=True)
-        robots_df = self.store.load(self.spark, "robots")
-        self.robots_cache = {}
-        if robots_df is not None:
-            for r in robots_df.collect():
-                self.robots_cache[r["robots_key"]] = _RobotsEntry(
-                    r["robots_txt"], r["deny_status"], r["req_err"], r["fetched_at"])
+        # parquet-backed base layer: the due-scan prunes on row-group stats
+        self._base = self.store.load(self.spark, "frontier")
+        self._delta = None
+        # robots state resumes as a TABLE — no collect of all hosts; rows
+        # are looked up per batch as the crawl touches them
+        from collections import OrderedDict
+        self._robots_base = self.store.load(self.spark, "robots")
+        self.robots_cache = OrderedDict()
+        self._robots_dirty = {}
         self.max_seq = meta["max_seq"]
         self.cycle_id = meta["cycle_id"]
         self.cycle_time = meta["cycle_time"]
@@ -310,19 +386,23 @@ class SparkCrawler:
         return True
 
     def _commit_snapshot(self) -> None:
-        robots_rows = [
+        # robots table = dirty entries (since last snapshot, batch-bounded)
+        # overriding the previous table — same LSM shape as the frontier
+        dirty_df = local_df(self.spark, [
             {"robots_key": k, "robots_txt": e.txt, "deny_status": e.deny_status,
              "req_err": e.req_err, "fetched_at": e.fetched_at}
-            for k, e in self.robots_cache.items()
-        ]
-        robots_schema = T.StructType([
-            T.StructField("robots_key", T.StringType()),
-            T.StructField("robots_txt", T.StringType()),
-            T.StructField("deny_status", T.IntegerType()),
-            T.StructField("req_err", T.BooleanType()),
-            T.StructField("fetched_at", T.DoubleType()),
-        ])
-        robots_df = self.spark.createDataFrame(robots_rows, schema=robots_schema)
+            for k, e in self._robots_dirty.items()
+        ], ROBOTS_SCHEMA)
+        if self._robots_base is None:
+            robots_df = dirty_df
+        elif self._robots_dirty:
+            kept = self._robots_base.join(
+                F.broadcast(dirty_df.select("robots_key")),
+                "robots_key", "left_anti")
+            cols = [f.name for f in ROBOTS_SCHEMA]
+            robots_df = dirty_df.select(*cols).unionByName(kept.select(*cols))
+        else:
+            robots_df = self._robots_base
         self._flush_logs()
         # frontier sorted by next_fetch_time within partitions → parquet
         # min/max stats make the due-filter prune files at scale (O1)
@@ -339,6 +419,12 @@ class SparkCrawler:
                   "max_seq": self.max_seq,
                   "host_delay": {h: list(v) for h, v in self.host_delay.items()}},
         )
+        # compaction: the snapshot just written becomes the base layer and
+        # the delta resets — the only O(|frontier|) write, amortized over
+        # checkpoint_every cycles
+        self._compact()
+        self._robots_base = self.store.load(self.spark, "robots")
+        self._robots_dirty = {}
 
     # ------------------------------------------------------------------
     # the micro-cycle
@@ -382,7 +468,8 @@ class SparkCrawler:
         ]))
 
         if cfg.robots_enabled:
-            robots_dim = self._robots_dim_df()
+            robots_dim = self._robots_dim_df(
+                [urls_mod.robots_url(r["url"]) for r in batch])
             batch_df = batch_df.join(F.broadcast(robots_dim), "robots_key", "left")
             allowed_udf = SF.make_robots_allowed_udf(cfg.user_agent)
             batch_df = batch_df.withColumn(
@@ -506,51 +593,60 @@ class SparkCrawler:
         ph.mark('links_count')
         stats.links_found = int(n_links) - len(robots_inserts)
 
-        # first occurrence within the cycle wins (unique-index semantics, J1)
-        w_dup = Window.partitionBy("url").orderBy("batch_idx", "source_order", "link_idx")
-        links_unique = (links_all
-                        .withColumn("_rn", F.row_number().over(w_dup))
-                        .filter(F.col("_rn") == 1)
-                        .drop("_rn"))
+        if n_links:
+            # first occurrence within the cycle wins (unique-index semantics, J1)
+            w_dup = Window.partitionBy("url").orderBy("batch_idx", "source_order", "link_idx")
+            links_unique = (links_all
+                            .withColumn("_rn", F.row_number().over(w_dup))
+                            .filter(F.col("_rn") == 1)
+                            .drop("_rn"))
 
-        # anti-join against the seen set (= the whole frontier), Bloom-prefiltered
-        seen = self.frontier.select("url")
-        if self._bloom is not None:
-            links_unique = self._bloom.prefilter(self.spark, links_unique, "url",
-                                                 seen, method=cfg.bloom_probe)
-        else:
-            links_unique = links_unique.join(seen, "url", "left_anti")
+            # dedup vs the seen set (= the whole frontier): Bloom-prefiltered
+            # (scale path), and the exact verify streams the frontier
+            # through broadcast joins — never shuffles it (_minus_seen)
+            seen = self.frontier.select("url")
+            if self._bloom is not None:
+                links_unique = self._bloom.prefilter(self.spark, links_unique, "url",
+                                                     seen, method=cfg.bloom_probe)
+            else:
+                links_unique = self._minus_seen(links_unique, seen)
 
-        # seq assignment: window ONLY over the cycle's new links (bounded)
-        w_seq = Window.partitionBy(F.lit(0)).orderBy("batch_idx", "source_order", "link_idx")
-        t_insert = (F.lit(self.cycle_time)
-                    + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
-        base = (links_unique
-                .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
-                .withColumn("url_hash", SF.url_hash(F.col("url")))
-                # JVM-side host extraction (handler links are already
-                # canonicalized to lowercase hosts)
-                .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
-                .withColumn("t_insert", t_insert))
-        if cfg.order_mode == "fifo":
-            base = base.withColumn("next_fetch_time", F.lit(0.0))
-        elif cfg.order_mode == "decay":
-            base = self._decay_score_rows(base)
+            # seq assignment: window ONLY over the cycle's new links (bounded)
+            w_seq = Window.partitionBy(F.lit(0)).orderBy("batch_idx", "source_order", "link_idx")
+            t_insert = (F.lit(self.cycle_time)
+                        + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
+            base = (links_unique
+                    .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
+                    .withColumn("url_hash", SF.url_hash(F.col("url")))
+                    # JVM-side host extraction (handler links are already
+                    # canonicalized to lowercase hosts)
+                    .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+                    .withColumn("t_insert", t_insert))
+            if cfg.order_mode == "fifo":
+                base = base.withColumn("next_fetch_time", F.lit(0.0))
+            elif cfg.order_mode == "decay":
+                base = self._decay_score_rows(base)
+            else:
+                base = base.withColumn(
+                    "next_fetch_time",
+                    F.col("t_insert")
+                    - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
+            new_rows = (base
+                        .withColumn("status_code", F.lit(None).cast("int"))
+                        .withColumn("error_code", F.lit(None).cast("string"))
+                        .withColumn("error_message", F.lit(None).cast("string"))
+                        .withColumn("num_errors", F.lit(0))
+                        .select(*[f.name for f in FRONTIER_SCHEMA]))
+            new_rows = new_rows.persist()
         else:
-            base = base.withColumn(
-                "next_fetch_time",
-                F.col("t_insert")
-                - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
-        new_rows = (base
-                    .withColumn("status_code", F.lit(None).cast("int"))
-                    .withColumn("error_code", F.lit(None).cast("string"))
-                    .withColumn("error_message", F.lit(None).cast("string"))
-                    .withColumn("num_errors", F.lit(0))
-                    .select(*[f.name for f in FRONTIER_SCHEMA]))
-        new_rows = new_rows.persist()
+            new_rows = None  # zero discovered links → nothing to dedup/insert
         prev_max_seq = self.max_seq
 
-        # --- upsert merge (S6: MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT)
+        # --- upsert merge (S6: MERGE WHEN MATCHED UPDATE / NOT MATCHED
+        # INSERT). The update side touches ONLY the popped batch rows: their
+        # current state was collected by the pop, so the delta is computed
+        # over a batch-sized frame and the big base layer is never rewritten
+        # (bucket-local MERGE semantics; Iceberg MERGE on a real cluster).
         upd = local_df(self.spark, [
             {"u_url": r["url"], "batch_idx": r["batch_idx"],
              "status_out": r["status_out"], "u_error_code": r["error_code"],
@@ -564,8 +660,9 @@ class SparkCrawler:
         ]))
         t_row = (F.lit(self.cycle_time)
                  + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
-        merged = self.frontier.join(
-            F.broadcast(upd), self.frontier.url == upd.u_url, "left")
+        batch_state = local_df(self.spark, batch, FRONTIER_SCHEMA)
+        merged = batch_state.join(
+            upd, batch_state.url == upd.u_url, "left")
         has_upd = F.col("u_url").isNotNull()
         is_err = has_upd & F.col("u_error_code").isNotNull()
         if cfg.order_mode == "fifo":
@@ -601,21 +698,24 @@ class SparkCrawler:
             F.col("seq"),
         )
 
-        self.frontier = merged.unionByName(new_rows).localCheckpoint(eager=True)
+        changes = merged if new_rows is None else merged.unionByName(new_rows)
+        self._apply_changes(changes)
         ph.mark('checkpoint')
-        # the checkpoint materialized new_rows — read back the new max seq
-        # instead of paying a separate count action on the dedup pipeline
-        new_max = self.frontier.agg(F.max("seq").alias("m")).collect()[0]["m"]
-        self.max_seq = int(new_max) if new_max is not None else prev_max_seq
+        # the delta checkpoint materialized new_rows — read back the new max
+        # seq from the (small) delta instead of scanning the frontier
+        new_max = self._delta.agg(F.max("seq").alias("m")).collect()[0]["m"]
+        self.max_seq = max(prev_max_seq,
+                           int(new_max) if new_max is not None else -1)
         n_new = self.max_seq - prev_max_seq
         stats.links_new = int(n_new)
         stats.dedup_hits = int(n_links - n_new)
-        if self._bloom is not None and n_new:
+        if self._bloom is not None and n_new and new_rows is not None:
             self._bloom.add(self.spark, new_rows.select("url"))
         ph.mark('seq_agg')
         kernel_out.unpersist()
         found.unpersist()
-        new_rows.unpersist()
+        if new_rows is not None:
+            new_rows.unpersist()
         if getattr(self, "_scored_tmp", None) is not None:
             self._scored_tmp.unpersist()
             self._scored_tmp = None
@@ -735,19 +835,64 @@ class SparkCrawler:
             w = Window.partitionBy("host").orderBy(*order)
             due = (due.withColumn("_hrn", F.row_number().over(w))
                       .filter(F.col("_hrn") <= cfg.per_host_cap).drop("_hrn"))
+        # full rows: the batch IS the merge's update side (batch-sized), so
+        # the upsert never rejoins or rewrites the frontier at large
         rows = (due.orderBy(*order).limit(cfg.budget)
-                   .select("url", "seq", "num_errors", "next_fetch_time")
+                   .select(*[f.name for f in FRONTIER_SCHEMA])
                    .collect())
         return [r.asDict() for r in rows]
 
     # ------------------------------------------------------------------
-    # robots layer (S5/F2/F3/T6)
+    # robots layer (S5/F2/F3/T6) — host-keyed table + bounded LRU memo
     # ------------------------------------------------------------------
-    def _robots_dim_df(self) -> DataFrame:
+    def _robots_memo_put(self, key: str, entry: _RobotsEntry) -> None:
+        memo = self.robots_cache
+        memo[key] = entry
+        memo.move_to_end(key)
+        while len(memo) > self.config.robots_memo_size:
+            memo.popitem(last=False)
+
+    def _robots_store(self, key: str, entry: _RobotsEntry) -> None:
+        self._robots_memo_put(key, entry)
+        self._robots_dirty[key] = entry  # table row, flushed at snapshot
+
+    def _robots_lookup(self, keys: list[str]) -> dict[str, _RobotsEntry]:
+        """Entries for the batch's robots keys: LRU memo → dirty set →
+        one broadcast-semi lookup against the robots TABLE for the misses
+        (batch-bounded result; the table itself never collects fully)."""
+        out: dict[str, _RobotsEntry] = {}
+        missing: list[str] = []
+        for k in keys:
+            entry = self.robots_cache.get(k)
+            if entry is not None:
+                self.robots_cache.move_to_end(k)
+            else:
+                entry = self._robots_dirty.get(k)
+            if entry is not None:
+                out[k] = entry
+            else:
+                missing.append(k)
+        if missing and self._robots_base is not None:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in set(missing)],
+                schema=T.StructType([T.StructField("robots_key", T.StringType())]))
+            rows = self._robots_base.join(F.broadcast(kdf), "robots_key").collect()
+            for r in rows:
+                entry = _RobotsEntry(r["robots_txt"], r["deny_status"],
+                                     r["req_err"], r["fetched_at"])
+                out[r["robots_key"]] = entry
+                self._robots_memo_put(r["robots_key"], entry)
+        return out
+
+    def _robots_dim_df(self, keys: list[str]) -> DataFrame:
+        """Per-cycle robots dimension: ONLY the batch's keys (budget-
+        bounded), broadcast-joined to the candidates — never the whole
+        host universe."""
+        entries = self._robots_lookup(list(dict.fromkeys(keys)))
         rows = [
             {"robots_key": k, "robots_txt": e.txt, "robots_deny_status": e.deny_status,
              "robots_req_err": e.req_err}
-            for k, e in self.robots_cache.items()
+            for k, e in entries.items()
         ]
         schema = T.StructType([
             T.StructField("robots_key", T.StringType()),
@@ -755,20 +900,21 @@ class SparkCrawler:
             T.StructField("robots_deny_status", T.IntegerType()),
             T.StructField("robots_req_err", T.BooleanType()),
         ])
-        return self.spark.createDataFrame(rows, schema=schema)
+        return local_df(self.spark, rows, schema)
 
     def _refresh_robots(self, batch: list[dict]) -> list[tuple[int, str]]:
         """Fetch robots.txt for batch hosts with cache-miss/TTL semantics
         (Crawler.js:445-502). Returns the ordered frontier enqueues of the
         robots URLs themselves (Crawler.js:463-465)."""
         cfg = self.config
+        batch_keys = [urls_mod.robots_url(row["url"]) for row in batch]
+        known = self._robots_lookup(list(dict.fromkeys(batch_keys)))
         wanted: list[tuple[int, str]] = []
         seen_keys = set()
-        for idx, row in enumerate(batch):
-            key = urls_mod.robots_url(row["url"])
+        for idx, key in enumerate(batch_keys):
             if key in seen_keys:
                 continue
-            entry = self.robots_cache.get(key)
+            entry = known.get(key)
             if entry is not None and (entry.fetched_at + cfg.robots_cache_ttl_ms
                                       > self.cycle_time):
                 continue
@@ -781,17 +927,17 @@ class SparkCrawler:
         for _, key in wanted:
             resp = fetched.get(key)
             if resp is None:
-                self.robots_cache[key] = _RobotsEntry(None, None, True, self.cycle_time)
+                self._robots_store(key, _RobotsEntry(None, None, True, self.cycle_time))
                 continue
             status, body = resp
             if status < 400:
                 txt = (bytes(body) if body is not None else b"").decode(
                     "utf-8", errors="replace")
-                self.robots_cache[key] = _RobotsEntry(txt, None, False, self.cycle_time)
+                self._robots_store(key, _RobotsEntry(txt, None, False, self.cycle_time))
             elif status in (404, 410) or (status == 500 and cfg.robots_ignore_server_error):
-                self.robots_cache[key] = _RobotsEntry("", None, False, self.cycle_time)
+                self._robots_store(key, _RobotsEntry("", None, False, self.cycle_time))
             else:
-                self.robots_cache[key] = _RobotsEntry(None, status, False, self.cycle_time)
+                self._robots_store(key, _RobotsEntry(None, status, False, self.cycle_time))
         return wanted
 
     def _fetch_with_redirects(self, urls: list[str]) -> dict:
