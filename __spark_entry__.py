@@ -253,6 +253,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                                 num_hashes=4, bands=2, shingle_n=2)
 
 
+def q_lsh_jaccard_dedup(spark, sf_dir):
+    """The full MinHash dedup pipeline end-to-end: shingle → LSH banding →
+    candidate pairs → exact Jaccard verify on candidates only → near-dup
+    pairs at >= 0.5. Never touches the O(n²) pair space."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=2)
+    return (DD.jaccard_pairs(docs, pairs, shingle_n=2)
+            .filter(F.col("jaccard") >= 0.5))
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash as pure JVM expressions (md5-keyed token hashes) —
     oracle-checked: DuckDB computes the identical signature."""
@@ -387,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_jaccard_dedup": q_lsh_jaccard_dedup,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lang_id": q_lang_id,
@@ -726,5 +737,30 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
          AND a.doc_id < b.doc_id
+        """)
+    sql["lsh_jaccard_dedup"] = (
+        shingle_sql + f"""
+        , sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, minhash_0 AS h0, minhash_1 AS h1 FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, minhash_2 AS h0, minhash_3 AS h1 FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.shingles, sb.shingles)) /
+                     greatest(len(list_distinct(sa.shingles || sb.shingles)),
+                              1)::DOUBLE, 4) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+                    greatest(len(list_distinct(sa.shingles || sb.shingles)),
+                             1)::DOUBLE, 4) >= 0.5
         """)
     return sql

@@ -339,6 +339,95 @@ class SparkCrawler:
         if self._bloom is not None:
             self._bloom.add(self.spark, df.select("url"))
 
+    def seed_df(self, urls_df: DataFrame, url_col: str = "url",
+                order_col: str | None = None) -> int:
+        """Seed the frontier from a DataFrame — the 10^10-URL seed-list path
+        (north_rule): never materializes URLs on the driver.
+
+        - input dedup via dropDuplicates (one shuffle on url);
+        - seen-check is a plain left_anti (both sides can be huge — this is
+          a one-time seeding cost, unlike the per-cycle _minus_seen);
+        - dense seq assignment WITHOUT a global window: per-partition
+          counts → cumulative offsets (P-row collect) + an intra-partition
+          row_number, so no single task ever sees the whole seed list.
+          With ``order_col`` the input is range-partitioned on it first,
+          making the seq order globally deterministic (FIFO semantics);
+          otherwise seq order follows the input partitioning;
+        - the result is committed + compacted straight into the parquet
+          base layer, not the delta.
+
+        Supports fifo/random order modes. decay mode seeding stays on
+        ``seed()``: its per-host sequential recurrence is driver-
+        coordinated state (RedisUrlList semantics — use random/W4 at web
+        scale, which is the reference's own DbUrlList behavior).
+        Returns the number of rows inserted.
+        """
+        if self.config.order_mode == "decay":
+            raise ValueError("seed_df supports fifo/random modes; decay "
+                             "host-state seeding goes through seed()")
+        inc = (urls_df.select(F.col(url_col).alias("url"))
+               .filter(F.col("url").isNotNull())
+               .dropDuplicates(["url"]))
+        view = self.frontier
+        if view is not None:
+            inc = inc.join(view.select("url"), "url", "left_anti")
+        if order_col is not None and order_col != url_col:
+            ords = (urls_df.groupBy(F.col(url_col).alias("url"))
+                    .agg(F.min(order_col).alias("_ord")))
+            inc = (inc.join(ords, "url", "left")
+                   .repartitionByRange(F.col("_ord"), F.col("url")))
+            order_expr = [F.col("_ord"), F.col("url")]
+        else:
+            inc = inc.repartitionByRange(F.col("url"))
+            order_expr = [F.col("url")]
+        inc = inc.withColumn("_pid", F.spark_partition_id()).persist()
+        counts = {r["_pid"]: r["n"] for r in
+                  inc.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+        total = int(sum(counts.values()))
+        if total == 0:
+            inc.unpersist()
+            return 0
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = local_df(self.spark,
+                          [{"_pid": p, "_off": o} for p, o in offsets.items()],
+                          T.StructType([T.StructField("_pid", T.IntegerType()),
+                                        T.StructField("_off", T.LongType())]))
+        w = Window.partitionBy("_pid").orderBy(*order_expr)
+        seqd = (inc.join(F.broadcast(off_df), "_pid")
+                .withColumn("seq", F.lit(self.max_seq + 1) + F.col("_off")
+                            + F.row_number().over(w).cast("long") - F.lit(1)))
+        if self.config.order_mode == "fifo":
+            nft = F.lit(0.0)
+        else:
+            nft = (F.lit(self.cycle_time)
+                   - SF.deterministic_priority(F.col("url")) * F.lit(YEAR_MS))
+        rows = (seqd
+                .withColumn("url_hash", SF.url_hash(F.col("url")))
+                .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+                .withColumn("status_code", F.lit(None).cast("int"))
+                .withColumn("error_code", F.lit(None).cast("string"))
+                .withColumn("error_message", F.lit(None).cast("string"))
+                .withColumn("num_errors", F.lit(0))
+                .withColumn("next_fetch_time", nft)
+                .select(*[f.name for f in FRONTIER_SCHEMA]))
+        # stage lazily and commit straight to the parquet base — a web-scale
+        # seed list must not pass through an in-memory delta checkpoint;
+        # the snapshot write is the single materialization
+        cols = [f.name for f in FRONTIER_SCHEMA]
+        view = self.frontier
+        staged = rows.select(*cols) if view is None else \
+            view.select(*cols).unionByName(rows.select(*cols))
+        self._base, self._delta = staged, None
+        self.max_seq += total
+        self._commit_snapshot()  # writes parquet, rebases onto it
+        if self._bloom is not None:
+            self._bloom.add(self.spark, inc.select("url"))
+        inc.unpersist()
+        return total
+
     def _fresh_row(self, url: str, seq: int, now_ms: float) -> dict:
         if self.config.order_mode == "fifo":
             nft = 0.0  # decay scores are patched in by seed()

@@ -1,0 +1,105 @@
+"""DataFrame-native seeding (the 10^10-URL seed-list path)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark import fixtures
+from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+from supercrawler_spark.oracle import OracleConfig, OracleCrawler, web_pages_dict
+
+
+def test_seed_df_matches_list_seed_and_crawls(spark):
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+    url_sorted = sorted(seeds["url"])
+
+    # list path (sorted so both paths assign identical seqs)
+    cr_a = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                        CrawlConfig(budget=8, order_mode="random"))
+    cr_a.seed(url_sorted)
+    cr_a.crawl(max_cycles=100)
+
+    # DataFrame path
+    cr_b = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                        CrawlConfig(budget=8, order_mode="random"))
+    n = cr_b.seed_df(spark.createDataFrame([(u,) for u in seeds["url"]],
+                                           ["url"]))
+    assert n == len(set(seeds["url"]))
+    cr_b.crawl(max_cycles=100)
+
+    assert cr_a.crawl_order == cr_b.crawl_order
+    assert cr_a.seen_urls() == cr_b.seen_urls()
+
+    # and both match the oracle
+    ora = OracleCrawler(web_pages_dict(web),
+                        OracleConfig(budget=8, order_mode="random"))
+    ora.seed(url_sorted)
+    res = ora.crawl(max_rounds=100)
+    assert cr_b.crawl_order == res.crawl_order
+
+
+def test_seed_df_dedups_and_anti_joins(spark):
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=1, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(budget=4, order_mode="random"))
+    cr.seed(["http://host0.example/index.html"])
+    dup_df = spark.createDataFrame(
+        [("http://host0.example/index.html",),   # already seeded
+         ("http://new.example/a",), ("http://new.example/a",),  # in-batch dup
+         ("http://new.example/b",)], ["url"])
+    n = cr.seed_df(dup_df)
+    assert n == 2
+    assert cr.frontier.count() == 3
+    assert cr.frontier.select("seq").distinct().count() == 3  # dense, unique
+
+
+def test_seed_df_fifo_order_col(spark):
+    _, web, _ = fixtures.make_web_fixture(n_hosts=1, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(budget=2, order_mode="fifo",
+                                  robots_enabled=False))
+    rows = [(f"http://h.example/p{i}", 100 - i) for i in range(20)]
+    cr.seed_df(spark.createDataFrame(rows, ["url", "rank"]), order_col="rank")
+    pdf = cr.frontier_pdf()  # ordered by seq
+    got = list(pdf["url"])
+    want = [u for u, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    assert got == want
+
+
+def test_seed_df_scale_1m(spark):
+    """1M-row DataFrame seed: distributed dense seqs, no driver list."""
+    web_schema = "url string, status_code int, content_type string, location string, body binary"
+    web_df = spark.createDataFrame([], schema=web_schema)
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(budget=4, order_mode="random",
+                                  robots_enabled=False))
+    urls = spark.range(1_000_000).select(
+        F.concat(F.lit("http://h"), F.col("id") % 997,
+                 F.lit(".example/p"), F.col("id")).alias("url"))
+    n = cr.seed_df(urls)
+    assert n == 1_000_000
+    assert cr.max_seq == 999_999
+    agg = cr.frontier.agg(F.count(F.lit(1)).alias("n"),
+                          F.countDistinct("seq").alias("d"),
+                          F.min("seq").alias("lo"),
+                          F.max("seq").alias("hi")).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == \
+        (1_000_000, 1_000_000, 0, 999_999)
+    # base layer is parquet-backed (committed), delta empty
+    assert cr._delta is None and cr._base is not None
+    # and the engine can immediately run cycles on it
+    stats = cr.run_cycle()
+    assert stats.popped == 4
+
+
+def test_seed_df_rejects_decay_mode(spark):
+    web_df = spark.createDataFrame(
+        [], schema="url string, status_code int, content_type string, location string, body binary")
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(order_mode="decay"))
+    with pytest.raises(ValueError):
+        cr.seed_df(spark.createDataFrame([("http://a/",)], ["url"]))
