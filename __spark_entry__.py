@@ -346,6 +346,23 @@ def q_streaming_window_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact-dedup (dropDuplicates over a document stream);
+    availableNow result equals batch SELECT DISTINCT — oracle-checked."""
+    from supercrawler_spark import streaming
+    return streaming.streaming_dedup_hashes(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_stateful_host_counts(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running counters in explicit GroupState; final totals equal the batch
+    GROUP BY — oracle-checked."""
+    from supercrawler_spark import streaming
+    return streaming.stateful_user_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_crawl_e2e(spark, sf_dir):
     """The crawl loop end-to-end on the synthetic web fixture (rows-only;
     full parity vs the reference simulator is asserted in
@@ -408,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "streaming_window_counts": q_streaming_window_counts,
+        "streaming_dedup": q_streaming_dedup,
+        "stateful_host_counts": q_stateful_host_counts,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "crawl_e2e": q_crawl_e2e,
@@ -582,6 +601,13 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT md5(text) AS content_hash FROM documents
+        """,
+        "stateful_host_counts": """
+            SELECT user_id, count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

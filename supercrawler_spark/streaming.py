@@ -57,6 +57,81 @@ def windowed_event_counts(spark: SparkSession, events_path: str,
         "event_type", "n_events", "total_value")
 
 
+def _single_file_stream(spark: SparkSession, path: str):
+    """file-stream source over a fixture path (dir or single file)."""
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="sc-stream-src-")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    return (spark.readStream.schema(schema).format("parquet")
+            .option("path", path).load())
+
+
+def _run_to_memory(agg, name_prefix: str, mode: str) -> str:
+    import uuid
+    name = f"{name_prefix}_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="sc-stream-ckpt-")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return name
+
+
+def streaming_dedup_hashes(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the content hash over a
+    document stream — the streaming twin of datapipe.dedup.exact_dedup's
+    key step. With availableNow the surviving key set equals the batch
+    SELECT DISTINCT md5(text), so a SQL oracle checks it exactly. (State
+    store holds one entry per distinct hash; production would bound it
+    with a watermark on an event-time column.)"""
+    stream = _single_file_stream(spark, docs_path)
+    deduped = (stream
+               .select(F.md5(F.col("text")).alias("content_hash"))
+               .dropDuplicates(["content_hash"]))
+    name = _run_to_memory(deduped, "stream_dedup", "append")
+    return spark.table(name)
+
+
+def stateful_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user (per-host, in crawl terms) running event counter carried in
+    explicit GroupState — the building block for streaming politeness
+    budgets / per-host token buckets. Emits the running total on every
+    update; with availableNow over a static fixture the final row per user
+    equals the batch GROUP BY count, giving an exact SQL oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    stream = _single_file_stream(spark, events_path).select("user_id")
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def counter(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counts = (stream.groupBy("user_id")
+              .applyInPandasWithState(counter, out_schema, state_schema,
+                                      "update", GroupStateTimeout.NoTimeout))
+    name = _run_to_memory(counts, "stateful_counts", "update")
+    # the memory sink in update mode accumulates one row per state update;
+    # keep each user's final (max) running total
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
+
+
 def stream_crawl_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     """Live rollup over the crawler's append-only metrics log: cumulative
     fetched / new / dedup-hit counts. availableNow over whatever parts

@@ -26,6 +26,24 @@ def test_windowed_event_counts_equals_batch(spark, sf_dir):
     assert abs(a["total_value"].to_numpy() - b["total_value"].to_numpy()).max() < 1e-6
 
 
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    path = f"{sf_dir}/documents.parquet"
+    got = {r["content_hash"] for r in
+           streaming.streaming_dedup_hashes(spark, path).collect()}
+    want = {r["h"] for r in spark.read.parquet(path)
+            .select(F.md5("text").alias("h")).distinct().collect()}
+    assert got == want
+
+
+def test_stateful_user_counts_equals_batch(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    got = {r["user_id"]: r["n_events"] for r in
+           streaming.stateful_user_counts(spark, path).collect()}
+    want = {r["user_id"]: r["n"] for r in spark.read.parquet(path)
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
 def test_stream_crawl_metrics(spark):
     import tempfile
 
