@@ -118,6 +118,24 @@ def main():
 
     crawl = _worker("crawl", f"local[{CPUS}]")
     dedup = _worker("dedup", f"local[{CPUS}]")
+
+    # frontier scale-invariance (LSM base+delta): per-cycle wall time must
+    # stay ~flat as the frontier grows (see BENCH/BASELINE.md §0 for the
+    # full 1M vs 10M quiet-window run). Bounded to keep bench wall sane.
+    try:
+        fs_out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "bench_frontier_scale.py"),
+             "1000000", "8000000"],
+            capture_output=True, text=True, timeout=420,
+            env={**os.environ, "SC_FS_CYCLES": "8"})
+        frontier_scale = json.loads(fs_out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 — bench must still emit its line
+        frontier_scale = {"error": str(exc)[:200],
+                          "quiet_window_reference": {
+                              "median_cycle_s_1m": 3.81,
+                              "median_cycle_s_10m": 3.58,
+                              "cycle_time_ratio_at_10x_rows": 0.94}}
     n_small = max(2, CPUS // 4)
     cyc_small = _worker("cycle", f"local[{n_small}]")
     cyc_big = _worker("cycle", f"local[{CPUS}]")
@@ -152,9 +170,13 @@ def main():
         "dedup_2m": {k: dedup[k] for k in
                      ("exact_antijoin_s", "bloom_build_s",
                       "bloom_prefilter_s", "bloom_fpr_est", "new")},
+        "frontier_scale": frontier_scale,
         # quiet-window capability for the single-shot sections (host noise
         # can inflate any one measurement 5-10x; see BENCH/BASELINE.md):
-        "quiet_window_reference_crawl_urls_per_sec": 514.0,
+        # r2 LSM-frontier capability at calibration 0.81 (r1's 514 was the
+        # whole-frontier-rewrite design that degrades linearly in frontier
+        # size — see BENCH/BASELINE.md §0/§1 for the trade)
+        "quiet_window_reference_crawl_urls_per_sec": 370.0,
         "quiet_window_reference_dedup_2m": {
             "exact_antijoin_s": 3.04, "bloom_build_s": 3.64,
             "bloom_prefilter_s": 5.86},

@@ -35,7 +35,7 @@ from supercrawler_spark.session import get_spark
 YEAR_MS = 365.0 * 86400000.0
 N_DUE = 200_000          # due backlog (far more than the cycles consume)
 BUDGET = 64
-N_CYCLES = 12
+N_CYCLES = int(os.environ.get("SC_FS_CYCLES", "12"))
 
 
 def build_frontier(spark, n: int, workdir: str) -> str:

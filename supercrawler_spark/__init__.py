@@ -9,7 +9,7 @@ text analysis, multimodal payload plumbing) a 100 TB crawl corpus needs.
 """
 
 from .crawler import CrawlConfig, SparkCrawler
-from .facade import Crawler
+from .facade import Crawler, DbUrlList, FifoUrlList, RedisUrlList
 from .handlers import (HandlerRegistry, HandlersError, default_registry,
                        html_link_parser, robots_parser, sitemaps_parser)
 from .oracle import OracleConfig, OracleCrawler, web_pages_dict
@@ -21,6 +21,7 @@ __all__ = [
     "html_link_parser", "robots_parser", "sitemaps_parser",
     "OracleConfig", "OracleCrawler", "web_pages_dict", "get_spark",
     "Url", "RobotsNotAllowedError", "HttpError", "RequestError", "HandlersError",
+    "FifoUrlList", "DbUrlList", "RedisUrlList",
 ]
 
 __version__ = "0.1.0"

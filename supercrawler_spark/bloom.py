@@ -199,8 +199,7 @@ class PartitionedBloom:
         # broadcast into a streaming left_semi scan of seen, and the hits
         # broadcast back for the anti — the 10^10-row seen side is read
         # once, column-pruned, never exchanged
-        hits = seen.join(F.broadcast(suspects.select(col).distinct()),
-                         col, "left_semi")
+        hits = seen.join(F.broadcast(suspects.select(col)), col, "left_semi")
         verified_new = suspects.join(F.broadcast(hits), col, "left_anti")
         return definite_new.unionByName(verified_new)
 

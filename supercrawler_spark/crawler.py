@@ -287,7 +287,11 @@ class SparkCrawler:
             kept = self._delta.join(
                 F.broadcast(changes.select("url")), "url", "left_anti")
             merged = changes.select(*cols).unionByName(kept.select(*cols))
-        self._delta = merged.localCheckpoint(eager=True)
+        # bound the delta's partition count: unions add partitions every
+        # cycle (32 + 64 + ... → hundreds of near-empty tasks by cycle N);
+        # coalesce is shuffle-free and keeps per-cycle task counts flat
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions") or 32)
+        self._delta = merged.coalesce(n_part).localCheckpoint(eager=True)
 
     def _minus_seen(self, links: DataFrame, seen: DataFrame) -> DataFrame:
         """links − seen WITHOUT shuffling the seen side. A plain left_anti
@@ -295,9 +299,12 @@ class SparkCrawler:
         here the politeness-bounded links broadcast INTO the seen scan
         (left_semi streams the frontier through a broadcast hash join → the
         few hits), and the hits broadcast back for the anti. Net cost: one
-        column-pruned scan of seen, zero frontier shuffle."""
-        keys = links.select("url").distinct()
-        hits = seen.join(F.broadcast(keys), "url", "left_semi")
+        column-pruned scan of seen, zero frontier shuffle.
+
+        Precondition: ``links`` is already unique on url (both callers —
+        the cycle's first-occurrence-deduped links and seed's
+        deduplicated batch — guarantee it), so no distinct shuffle here."""
+        hits = seen.join(F.broadcast(links.select("url")), "url", "left_semi")
         return links.join(F.broadcast(hits), "url", "left_anti")
 
     def _compact(self) -> None:

@@ -20,11 +20,8 @@ values in DuckDB (`('0x'||substr(md5(x),1,15))::BIGINT`).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .text import fingerprint, tokens
 

@@ -46,6 +46,51 @@ from .handlers import HandlerRegistry
 _URL_LIST_MODES = {"db": "random", "fifo": "fifo", "redis": "decay"}
 
 
+class FifoUrlList:
+    """Reference-shaped url-list descriptor (lib/FifoUrlList.js): insertion
+    order, items never re-queued. Pass to ``Crawler(url_list=...)``."""
+
+    mode = "fifo"
+
+    def engine_opts(self) -> dict:
+        return {}
+
+
+class DbUrlList:
+    """lib/DbUrlList.js descriptor: deterministic-random priority,
+    exponential retry backoff (1h·2^(n-1) default), 1-year recrawl."""
+
+    mode = "db"
+
+    def __init__(self, recrawl_in_ms: float = 31536000000.0,
+                 initial_retry_time_ms: float = 3600000.0):
+        self.recrawl_in_ms = float(recrawl_in_ms)        # DbUrlList.js:7,36
+        self.initial_retry_time_ms = float(initial_retry_time_ms)  # :81
+
+    def engine_opts(self) -> dict:
+        return {"recrawl_ms": self.recrawl_in_ms,
+                "initial_retry_ms": self.initial_retry_time_ms}
+
+
+class RedisUrlList:
+    """lib/RedisUrlList.js descriptor: hostname-balancing decay scores,
+    30-day expiry, 1h initial retry."""
+
+    mode = "redis"
+
+    def __init__(self, expiry_time_ms: float = 30 * 86400000.0,
+                 delay_half_life_ms: float = 3600000.0,
+                 initial_retry_time_ms: float = 3600000.0):
+        self.expiry_time_ms = float(expiry_time_ms)      # RedisUrlList.js:7,22
+        self.delay_half_life_ms = float(delay_half_life_ms)   # :6,21
+        self.initial_retry_time_ms = float(initial_retry_time_ms)  # :8
+
+    def engine_opts(self) -> dict:
+        return {"recrawl_ms": self.expiry_time_ms,
+                "delay_half_life_ms": self.delay_half_life_ms,
+                "initial_retry_ms": self.initial_retry_time_ms}
+
+
 class UrlListView:
     """insertIfNotExists-style queueing facade over the frontier."""
 
@@ -73,12 +118,19 @@ class Crawler:
                  robots_ignore_server_error: bool = False,
                  robots_cache_time: float = 3600000.0,
                  user_agent=None,
-                 url_list: str = "db",
+                 url_list="db",
                  request: dict | None = None,
                  **engine_opts):
         import tempfile
+        url_list_opts: dict = {}
+        if not isinstance(url_list, str):
+            # reference-style url-list instance (FifoUrlList / DbUrlList /
+            # RedisUrlList) — its options become engine options
+            url_list_opts = url_list.engine_opts()
+            url_list = url_list.mode
         if url_list not in _URL_LIST_MODES:
             raise ValueError(f"url_list must be one of {set(_URL_LIST_MODES)}")
+        engine_opts = {**url_list_opts, **engine_opts}  # explicit kwargs win
         self._spark = spark
         self._web_pages = web_pages
         self._workdir = workdir or tempfile.mkdtemp(prefix="supercrawler-")

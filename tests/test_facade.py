@@ -196,6 +196,31 @@ def test_callable_user_agent_reaches_robots_check(spark, web_df):
     assert len(seen) > 3  # crawl proceeded normally under the callable UA
 
 
+def test_url_list_class_instances(spark, web_df):
+    """Reference exports constructible url lists (lib/index.js:9-18);
+    Crawler(url_list=RedisUrlList(...)) maps their options onto the engine."""
+    from supercrawler_spark import DbUrlList, FifoUrlList, RedisUrlList
+    df, _ = web_df
+    c1 = Crawler(spark, df, url_list=RedisUrlList(expiry_time_ms=1234.0,
+                                                  delay_half_life_ms=500.0))
+    assert c1._config.order_mode == "decay"
+    assert c1._config.recrawl_ms == 1234.0
+    assert c1._config.delay_half_life_ms == 500.0
+    c2 = Crawler(spark, df, url_list=DbUrlList(recrawl_in_ms=99.0))
+    assert c2._config.order_mode == "random" and c2._config.recrawl_ms == 99.0
+    c3 = Crawler(spark, df, url_list=FifoUrlList())
+    assert c3._config.order_mode == "fifo"
+    # explicit engine kwargs still win over the instance's options
+    c4 = Crawler(spark, df, url_list=DbUrlList(recrawl_in_ms=99.0),
+                 recrawl_ms=7.0)
+    assert c4._config.recrawl_ms == 7.0
+    # and an instance-driven crawl actually runs
+    c3.add_handler("text/html", html_link_parser())
+    c3.queue_url("http://host0.example/index.html")
+    c3.start(max_cycles=3)
+    assert len(c3.engine.seen_urls()) >= 1
+
+
 def test_redis_url_list_mode(spark, web_df):
     df, _ = web_df
     crawler = (Crawler(spark, df, concurrent_requests_limit=6, url_list="redis")

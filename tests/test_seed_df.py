@@ -96,6 +96,26 @@ def test_seed_df_scale_1m(spark):
     assert stats.popped == 4
 
 
+def test_parquet_base_due_scan_pushes_down(spark):
+    """After compaction the frontier base is parquet-backed, so the
+    due-scan predicate must reach the scan (row-group min/max pruning —
+    the O1 design)."""
+    web_df = spark.createDataFrame(
+        [], schema="url string, status_code int, content_type string, location string, body binary")
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(budget=4, order_mode="random",
+                                  robots_enabled=False))
+    urls = spark.range(10_000).select(
+        F.concat(F.lit("http://h"), F.col("id") % 97,
+                 F.lit(".example/p"), F.col("id")).alias("url"))
+    cr.seed_df(urls)
+    due = cr.frontier.filter(F.col("next_fetch_time") < F.lit(0.0))
+    plan = due._sc._jvm.PythonSQLUtils.explainString(
+        due._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan and "next_fetch_time" in plan.split(
+        "PushedFilters", 1)[1][:200], plan
+
+
 def test_seed_df_rejects_decay_mode(spark):
     web_df = spark.createDataFrame(
         [], schema="url string, status_code int, content_type string, location string, body binary")
