@@ -1,0 +1,144 @@
+"""Regenerate PLANS.md: physical-plan audit of the flagship operators.
+
+For each audited query/pipeline the script captures `explain("formatted")`
+output and checks the properties that matter at 100 TB (pushdown, column
+pruning, broadcast vs shuffle, no nested-loop joins, whole-stage codegen).
+Run: python scripts/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def trim(plan: str, max_lines: int = 40) -> str:
+    lines = [l.rstrip() for l in plan.splitlines()]
+    # keep the tree section and the most informative detail lines
+    out, detail_budget = [], 18
+    in_tree = True
+    for l in lines:
+        if in_tree and l.strip() == "":
+            in_tree = False
+        if in_tree:
+            out.append(l)
+        elif detail_budget > 0 and re.search(
+                r"PushedFilters|ReadSchema|Arguments: .*(Broadcast|Sort|Hash)|Join condition|Functions \[|codegen id", l):
+            out.append(l[:160])
+            detail_budget -= 1
+    return "\n".join(out[:max_lines + 20])
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(REPO, "__spark_entry__.py"))
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+    from supercrawler_spark.session import get_spark
+    # AQE off for the audit: AdaptiveSparkPlan wrappers hide codegen
+    # annotations in pre-execution formatted plans
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=4,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    sections = []
+
+    def audit(name, df, claims):
+        p = plan_of(df)
+        checks = []
+        for desc, pattern, want in claims:
+            ok = bool(re.search(pattern, p)) == want
+            checks.append((desc, ok))
+        sections.append((name, trim(p), checks))
+
+    audit("flagship_frontier_pop (W1: due-filter + host rank + top-B)",
+          qs["flagship_frontier_pop"](spark, sf_dir), [
+              ("due predicate pushed to parquet scan", r"PushedFilters: \[IsNotNull\(ts\), LessThan\(ts", True),
+              ("top-B is TakeOrderedAndProject (no global sort of the frontier)", r"TakeOrderedAndProject", True),
+              ("window ranks within host partitions (hash by user_id)", r"Arguments: hashpartitioning\(user_id", True),
+          ])
+    audit("anti_join_dedup (J1: seen-set anti-join)",
+          qs["anti_join_dedup"](spark, sf_dir), [
+              ("anti join, not cartesian", r"LeftAnti", True),
+              ("no CartesianProduct", r"CartesianProduct", False),
+          ])
+    audit("broadcast_dim_join (J2: robots dimension)",
+          qs["broadcast_dim_join"](spark, sf_dir), [
+              ("dims broadcast, fact streams", r"BroadcastHashJoin", True),
+              ("partial aggregation before the shuffle", r"partial_", True),
+          ])
+    audit("q1_pricing_summary (agg sweep)",
+          qs["q1_pricing_summary"](spark, sf_dir), [
+              ("ship-date filter pushed down", r"PushedFilters: \[IsNotNull\(l_shipdate\)", True),
+              ("map-side partial agg", r"partial_sum", True),
+              ("whole-stage codegen spans the scan+filter+partial agg", r"codegen id", True),
+          ])
+    audit("minhash_lsh_pairs (band-bucket self-join, no all-pairs)",
+          qs["minhash_lsh_pairs"](spark, sf_dir), [
+              ("equi-join on band signature (hash/sort-merge), not nested loop", r"BroadcastNestedLoopJoin", False),
+              ("no CartesianProduct", r"CartesianProduct", False),
+          ])
+    audit("simhash (60-bit, pure JVM expressions)",
+          qs["simhash"](spark, sf_dir), [
+              ("no Python UDF in the plan", r"BatchEvalPython|ArrowEvalPython", False),
+              ("partial aggregation of per-bit sums", r"partial_", True),
+          ])
+    audit("embedding_dup_pairs exact (shuffle-replicated, not broadcast NL)",
+          qs["embedding_dup_pairs"](spark, sf_dir), [
+              ("no BroadcastNestedLoopJoin (no whole-side broadcast)", r"BroadcastNestedLoopJoin", False),
+          ])
+
+    # the crawl engine's own frontier scan after compaction
+    import tempfile
+    from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+    web_df = spark.createDataFrame(
+        [], schema="url string, status_code int, content_type string, location string, body binary")
+    cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
+                      CrawlConfig(budget=4, robots_enabled=False))
+    urls = spark.range(50_000).select(
+        F.concat(F.lit("http://h"), F.col("id") % 97,
+                 F.lit(".example/p"), F.col("id")).alias("url"))
+    cr.seed_df(urls)
+    audit("frontier due-scan over the compacted parquet base (O1)",
+          cr.frontier.filter(F.col("next_fetch_time") < F.lit(0.0)), [
+              ("due predicate reaches the parquet scan (row-group pruning)", r"PushedFilters: \[IsNotNull\(next_fetch_time\), LessThan\(next_fetch_time", True),
+          ])
+
+    lines = ["# PLANS — physical-plan audit of the flagship operators",
+             "",
+             "Regenerate with `python scripts/dump_plans.py`. Each section",
+             "shows the (trimmed) `explain(\"formatted\")` tree plus the",
+             "scale-relevant properties checked programmatically — the plans",
+             "we'd want on a 1000-executor cluster, not just plans that pass.",
+             ""]
+    all_ok = True
+    for name, p, checks in sections:
+        lines.append(f"## {name}\n")
+        for desc, ok in checks:
+            mark = "✓" if ok else "✗ FAILED"
+            all_ok &= ok
+            lines.append(f"- {mark} {desc}")
+        lines.append("\n```\n" + p + "\n```\n")
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("PLANS.md written;", "ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED")
+    spark.stop()
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
