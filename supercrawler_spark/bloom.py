@@ -182,12 +182,21 @@ class PartitionedBloom:
 
     def prefilter(self, spark: SparkSession, candidates: DataFrame,
                   col: str, seen: DataFrame,
-                  method: str = "broadcast") -> DataFrame:
+                  method: str = "broadcast",
+                  verify: str = "shuffle") -> DataFrame:
         """Exact dedup with Bloom short-circuit: returns candidates NOT in
         ``seen`` — identical result to a plain left_anti join (no false
-        negatives), but only Bloom-positive rows reach the shuffle.
+        negatives), but only Bloom-positive rows reach the verify join.
         ``method="cogroup"`` probes via the co-partitioned bitset table
-        (scale path, no full-matrix broadcast)."""
+        (scale path, no full-matrix broadcast).
+
+        ``verify`` picks the exact-verify join strategy:
+        - "shuffle" (default): plain left_anti — right when suspects are a
+          large fraction of the candidates (bulk corpus dedup);
+        - "broadcast": suspects broadcast into a streaming left_semi scan
+          of seen, hits broadcast back — the seen table is read once,
+          column-pruned, never exchanged. Right when suspects are bounded
+          (the crawl cycle's politeness-budget links) and seen is huge."""
         if method == "cogroup":
             flagged = self.maybe_seen_flag_cogrouped(
                 spark, candidates, col).persist()
@@ -195,12 +204,11 @@ class PartitionedBloom:
             flagged = self.maybe_seen_flag(spark, candidates, col).persist()
         definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        # exact verify WITHOUT shuffling the seen table: the (few) suspects
-        # broadcast into a streaming left_semi scan of seen, and the hits
-        # broadcast back for the anti — the 10^10-row seen side is read
-        # once, column-pruned, never exchanged
-        hits = seen.join(F.broadcast(suspects.select(col)), col, "left_semi")
-        verified_new = suspects.join(F.broadcast(hits), col, "left_anti")
+        if verify == "broadcast":
+            hits = seen.join(F.broadcast(suspects.select(col)), col, "left_semi")
+            verified_new = suspects.join(F.broadcast(hits), col, "left_anti")
+        else:
+            verified_new = suspects.join(seen, col, "left_anti")
         return definite_new.unionByName(verified_new)
 
     # -- persistence ----------------------------------------------------------

@@ -702,8 +702,11 @@ class SparkCrawler:
             # through broadcast joins — never shuffles it (_minus_seen)
             seen = self.frontier.select("url")
             if self._bloom is not None:
+                # suspects are politeness-bounded → broadcast verify (the
+                # frontier streams, never shuffles)
                 links_unique = self._bloom.prefilter(self.spark, links_unique, "url",
-                                                     seen, method=cfg.bloom_probe)
+                                                     seen, method=cfg.bloom_probe,
+                                                     verify="broadcast")
             else:
                 links_unique = self._minus_seen(links_unique, seen)
 
