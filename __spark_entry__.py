@@ -25,6 +25,7 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -346,6 +347,114 @@ def q_streaming_window_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _run_kernel(pages_df):
+    """Run the engine's REAL one-pass handler kernel (the same mapInPandas
+    UDTF the crawl cycle uses — redirects + html/robots/sitemaps handlers,
+    shared parse) over constructed pages."""
+    from supercrawler_spark.crawler import _KERNEL_OUT_SCHEMA, _make_handler_kernel
+    from supercrawler_spark.handlers import default_registry
+    kernel = _make_handler_kernel(default_registry())
+    out = pages_df.select("batch_idx", "url", "f_status", "f_content_type",
+                          "f_location", "f_body") \
+                  .mapInPandas(kernel, schema=_KERNEL_OUT_SCHEMA)
+    return (out.filter(F.col("link").isNotNull())
+               .select(F.col("batch_idx").alias("doc_id"), "link_idx",
+                       F.col("link").alias("url")))
+
+
+def q_html_link_extract(spark, sf_dir):
+    """P1 htmlLinkParser through the production kernel: anchors (relative +
+    root-relative), a javascript: link that must be dropped, and a
+    link[rel=alternate] — resolution/canonicalization oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    page_url = F.concat(F.lit("http://site"), (F.col("doc_id") % 10),
+                        F.lit(".example/dir/page"), d, F.lit(".html"))
+    html = F.concat(
+        F.lit('<html><body><a href="rel'), d, F.lit('.html">r</a>'),
+        F.lit('<a href="/abs'), d, F.lit('.html">a</a>'),
+        F.lit('<a href="javascript:void(0)">j</a>'),
+        F.lit('<link rel="alternate" href="http://alt.example/x'), d,
+        F.lit('"/></body></html>'))
+    pages = docs.select(
+        F.col("doc_id").alias("batch_idx"), page_url.alias("url"),
+        F.lit(200).alias("f_status"),
+        F.lit("text/html; charset=utf-8").alias("f_content_type"),
+        F.lit(None).cast("string").alias("f_location"),
+        F.encode(html, "utf-8").alias("f_body"))
+    return _run_kernel(pages)
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """P3 sitemapsParser through the production kernel, half the corpus
+    gzip-compressed (C12 gunzip path) — loc extraction oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>http://sm.example/u'),
+        d, F.lit('</loc></url><url><loc>http://sm.example/v'), d,
+        F.lit("</loc></url></urlset>"))
+
+    import gzip as _gzip
+
+    @F.pandas_udf("binary")
+    def gz(bodies: pd.Series) -> pd.Series:
+        return bodies.map(lambda s: _gzip.compress(s.encode()))
+
+    is_gz = (F.col("doc_id") % 2) == 0
+    pages = docs.select(
+        F.col("doc_id").alias("batch_idx"),
+        F.concat(F.lit("http://sm.example/map"), d, F.lit(".xml")).alias("url"),
+        F.lit(200).alias("f_status"),
+        F.when(is_gz, F.lit("application/gzip"))
+         .otherwise(F.lit("application/xml")).alias("f_content_type"),
+        F.lit(None).cast("string").alias("f_location"),
+        F.when(is_gz, gz(xml)).otherwise(F.encode(xml, "utf-8")).alias("f_body"))
+    return _run_kernel(pages)
+
+
+def q_robots_sitemap_extract(spark, sf_dir):
+    """P2 robotsParser through the production kernel: Sitemap: directives
+    (relative + absolute) extracted from /robots.txt bodies only."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: /sm"), d,
+        F.lit(".xml\nsitemap: http://other.example/s"), d, F.lit(".xml\n"))
+    pages = docs.select(
+        F.col("doc_id").alias("batch_idx"),
+        F.concat(F.lit("http://rb"), (F.col("doc_id") % 20),
+                 F.lit(".example/robots.txt")).alias("url"),
+        F.lit(200).alias("f_status"),
+        F.lit("text/plain").alias("f_content_type"),
+        F.lit(None).cast("string").alias("f_location"),
+        F.encode(txt, "utf-8").alias("f_body"))
+    return _run_kernel(pages)
+
+
+def q_url_primitives(spark, sf_dir):
+    """C1/C2/C3/C4 Node-parity URL primitives as vectorized pandas UDFs:
+    canonicalize (lowercase scheme+host, keep port/query, drop fragment),
+    resolve (relative + root-relative), robots URL, hostname."""
+    from supercrawler_spark import functions as SF
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    messy = F.concat(F.lit("HTTP://Site"), (F.col("doc_id") % 50),
+                     F.lit(".EXAMPLE:8080/dir/p"), d, F.lit(".html?q="), d,
+                     F.lit("#frag"))
+    base = F.concat(F.lit("http://site"), (F.col("doc_id") % 50),
+                    F.lit(".example/dir/page"), d, F.lit(".html"))
+    rel = F.concat(F.lit("sub/rel"), d, F.lit(".html"))
+    root = F.concat(F.lit("/abs"), d, F.lit(".html"))
+    return docs.select(
+        "doc_id",
+        SF.canonicalize_udf(messy).alias("canonical"),
+        SF.resolve_udf(base, rel).alias("resolved_rel"),
+        SF.resolve_udf(base, root).alias("resolved_root"),
+        SF.robots_url_udf(messy).alias("robots_url"),
+        SF.hostname_udf(messy).alias("host"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup (dropDuplicates over a document stream);
     availableNow result equals batch SELECT DISTINCT — oracle-checked."""
@@ -415,6 +524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_jaccard_dedup": q_lsh_jaccard_dedup,
+        "html_link_extract": q_html_link_extract,
+        "sitemap_extract": q_sitemap_extract,
+        "robots_sitemap_extract": q_robots_sitemap_extract,
+        "url_primitives": q_url_primitives,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lang_id": q_lang_id,
@@ -651,6 +764,50 @@ def oracle_sql() -> dict[str, str]:
                          greatest(len(list_distinct(a.tk || b.tk)), 1)::DOUBLE,
                          4) AS jaccard_next
             FROM tk a JOIN tk b ON b.id = a.id + 1
+        """,
+        "html_link_extract": """
+            SELECT doc_id, 0::BIGINT AS link_idx,
+                   'http://site' || (doc_id % 10) || '.example/dir/rel'
+                     || doc_id || '.html' AS url
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1::BIGINT,
+                   'http://site' || (doc_id % 10) || '.example/abs'
+                     || doc_id || '.html'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2::BIGINT, 'http://alt.example/x' || doc_id
+            FROM documents
+        """,
+        "sitemap_extract": """
+            SELECT doc_id, 0::BIGINT AS link_idx,
+                   'http://sm.example/u' || doc_id AS url FROM documents
+            UNION ALL
+            SELECT doc_id, 1::BIGINT, 'http://sm.example/v' || doc_id
+            FROM documents
+        """,
+        "robots_sitemap_extract": """
+            SELECT doc_id, 0::BIGINT AS link_idx,
+                   'http://rb' || (doc_id % 20) || '.example/sm' || doc_id
+                     || '.xml' AS url
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1::BIGINT,
+                   'http://other.example/s' || doc_id || '.xml'
+            FROM documents
+        """,
+        "url_primitives": """
+            SELECT doc_id,
+                   'http://site' || (doc_id % 50) || '.example:8080/dir/p'
+                     || doc_id || '.html?q=' || doc_id AS canonical,
+                   'http://site' || (doc_id % 50) || '.example/dir/sub/rel'
+                     || doc_id || '.html' AS resolved_rel,
+                   'http://site' || (doc_id % 50) || '.example/abs'
+                     || doc_id || '.html' AS resolved_root,
+                   'http://site' || (doc_id % 50)
+                     || '.example:8080/robots.txt' AS robots_url,
+                   'site' || (doc_id % 50) || '.example' AS host
+            FROM documents
         """,
         "simhash": _simhash_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(8),
