@@ -298,6 +298,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword-unit counting (regex pre-tokenizer analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       TX.bpe_token_count(F.col("text")).cast("long")
+                         .alias("n_pieces"))
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive Rabin-Karp rolling hash over the token stream
+    (higher-order aggregate, one JVM pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       TX.rolling_fingerprint(F.col("text")).alias("roll_hash"))
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
@@ -319,6 +335,16 @@ def q_ann_lsh_topk(spark, sf_dir):
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 20)
     return SIM.lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: k-means coarse quantizer, n_probe nearest centroids
+    probed per query, exact cosine re-rank on probed buckets (rows-only;
+    recall vs brute force gated in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -534,9 +560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup": q_streaming_dedup,
         "stateful_host_counts": q_stateful_host_counts,
@@ -850,6 +879,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fp
+            FROM documents
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z0-9_]+|[^\\sa-z0-9_]'))::BIGINT AS n_pieces
+            FROM documents
+        """,
+        "rolling_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     [0::BIGINT] || list_transform({toks},
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                            % 2147483647),
+                     (a, b) -> (a * 131 + b) % 2147483647) AS roll_hash
             FROM documents
         """,
         "embedding_cosine_topk": """

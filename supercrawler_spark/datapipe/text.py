@@ -33,6 +33,39 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+def bpe_ish_tokens(col) -> Column:
+    """BPE-ish pre-tokenization: word pieces and individual punctuation
+    marks (`[a-z0-9_]+|[^\\s a-z0-9_]`), the regex analog of a byte-pair
+    tokenizer's pre-split — counts subword-boundary units rather than
+    whitespace words. Pure JVM regexp (explicit ASCII classes so the Java
+    and RE2 engines agree for the oracle)."""
+    return F.regexp_extract_all(F.lower(col),
+                                F.lit(r"[a-z0-9_]+|[^\sa-z0-9_]"), F.lit(0))
+
+
+def bpe_token_count(col) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+ROLL_MOD = 2147483647   # 2^31 - 1 (prime); keeps acc*base + h inside int64
+ROLL_BASE = 131
+
+
+def rolling_fingerprint(col) -> Column:
+    """Order-sensitive document fingerprint: a Rabin-Karp-style polynomial
+    rolling hash folded over the token stream with a higher-order
+    ``aggregate`` — one JVM pass, no Python, exact DuckDB twin via
+    list_reduce. Unlike the normalization fingerprint (md5 of collapsed
+    text) this is incremental: hash(doc + token) derives from hash(doc),
+    the building block for streaming/shingle fingerprints."""
+    from .dedup import md5_long  # local import; dedup imports this module
+    toks = tokens(col)
+    h = lambda t: md5_long(t) % F.lit(ROLL_MOD)  # noqa: E731
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLL_BASE) + h(t)) % F.lit(ROLL_MOD))
+
+
 def _count_token(col, word: str) -> Column:
     """Occurrences of a whole token in lowercased text, via array filter
     (exact token match, not substring)."""
