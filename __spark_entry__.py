@@ -364,6 +364,16 @@ def q_multimodal_verify(spark, sf_dir):
     return MM.verify_against_reference(images).orderBy("image_id")
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling over opaque binary containers (mapInPandas
+    UDTF: one blob in → one row per sampled frame; rows-only, pixel/phash
+    invariants pinned in pytest)."""
+    from supercrawler_spark import fixtures
+    from supercrawler_spark.datapipe import multimodal as MM
+    videos = spark.createDataFrame(fixtures.make_videos(8, n_frames=12, seed=42))
+    return MM.frame_sample(videos, every_n=4).orderBy("video_id", "frame_idx")
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Structured Streaming: event-time tumbling windows + watermark over a
     parquet stream (availableNow), complete-mode — equals the batch GROUP BY
@@ -571,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_host_counts": q_stateful_host_counts,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "crawl_e2e": q_crawl_e2e,
     }
 

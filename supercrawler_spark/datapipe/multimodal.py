@@ -97,6 +97,52 @@ def verify_against_reference(df: DataFrame, id_col: str = "image_id",
               .mapInPandas(kernel, schema=VERIFY_SCHEMA))
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("video_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "video_id",
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Video frame-sampling stage: one opaque binary in → one row per
+    sampled frame out (UDTF shape over mapInPandas). Parses the synthetic
+    length-prefixed frame container (fixtures.make_videos) and decodes
+    every ``every_n``-th frame; a production build swaps the container
+    parser + codec for pyav/ffmpeg keyframe extraction — the schema,
+    batching and fan-out shape are the real thing. Corrupt containers
+    degrade to a decode_error row."""
+    import struct
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    blob = bytes(data) if data is not None else b""
+                    if blob[:4] != b"SVID":
+                        raise ValueError("not a SVID container")
+                    n_frames = struct.unpack("<I", blob[4:8])[0]
+                    off = 8
+                    for f in range(n_frames):
+                        ln = struct.unpack("<I", blob[off:off + 4])[0]
+                        frame = blob[off + 4:off + 4 + ln]
+                        off += 4 + ln
+                        if f % every_n:
+                            continue
+                        px, w, h, fmt = imaging.decode_image(frame)
+                        rows.append((vid, f, w, h, imaging.phash64(px), None))
+                except Exception as exc:
+                    rows.append((vid, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def thumbnail_vectors(df: DataFrame, id_col: str = "image_id",
                       bytes_col: str = "bytes", side: int = 4) -> DataFrame:
     """Resize stage: block-mean grayscale thumbnail as array<float> —

@@ -90,6 +90,30 @@ def make_images(n: int = 8, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_videos(n: int = 4, n_frames: int = 12, seed: int = 42) -> pd.DataFrame:
+    """Synthetic video payloads: a container of length-prefixed encoded
+    frames (b'SVID' + u32 frame count + [u32 len | frame bytes]*). Each
+    frame is the deterministic image codec's output, so frame-sampling
+    stages are fully verifiable without a real video decoder."""
+    import struct
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        video_id = f"vid-{i:04d}"
+        w = int(rng.integers(24, 48))
+        h = int(rng.integers(24, 48))
+        frames = []
+        for f in range(n_frames):
+            px = imaging.synth_pixels(f"{video_id}-f{f}", w, h)
+            frames.append(imaging.encode_image(px, "png"))
+        blob = b"SVID" + struct.pack("<I", n_frames) + b"".join(
+            struct.pack("<I", len(fb)) + fb for fb in frames)
+        rows.append({"video_id": video_id, "bytes": blob,
+                     "n_frames": n_frames, "w": w, "h": h,
+                     "caption": f"synthetic clip {i} for {video_id}"})
+    return pd.DataFrame(rows)
+
+
 def make_web_fixture(n_hosts: int = 4, pages_per_host: int = 6, n_images: int = 8,
                      seed: int = 42):
     """Returns (seeds_df, web_pages_df, images_df) as pandas DataFrames."""

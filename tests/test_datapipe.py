@@ -235,6 +235,30 @@ def test_multimodal_verify_invariant(spark):
     assert out["caption_ok"].all()
 
 
+def test_frame_sample(spark):
+    from supercrawler_spark import fixtures
+    videos = fixtures.make_videos(3, n_frames=12)
+    corrupt = pd.DataFrame([{"video_id": "vid-bad", "bytes": b"NOTAVIDEO",
+                             "n_frames": 0, "w": 0, "h": 0, "caption": "x"}])
+    df = spark.createDataFrame(pd.concat([videos, corrupt], ignore_index=True))
+    out = MM.frame_sample(df, every_n=4).collect()  # collect: keeps int64
+    good = [r for r in out if r["video_id"] != "vid-bad"]
+    # every 4th of 12 frames → indices 0, 4, 8 per video
+    assert sorted({r["frame_idx"] for r in good}) == [0, 4, 8]
+    assert len(good) == 9 and all(r["decode_error"] is None for r in good)
+    # sampled frames decode to the deterministic per-frame pixels
+    from supercrawler_spark import imaging
+    ref = videos.set_index("video_id")
+    for r in good:
+        px = imaging.synth_pixels(f"{r['video_id']}-f{r['frame_idx']}",
+                                  r["w"], r["h"])
+        assert r["phash"] == imaging.phash64(px)
+        assert (r["w"], r["h"]) == (ref.loc[r["video_id"], "w"],
+                                    ref.loc[r["video_id"], "h"])
+    bad = [r for r in out if r["video_id"] == "vid-bad"]
+    assert len(bad) == 1 and bad[0]["decode_error"] is not None
+
+
 def test_thumbnail_vectors(spark):
     from supercrawler_spark import fixtures
     images = spark.createDataFrame(fixtures.make_images(4))
