@@ -374,6 +374,19 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return MM.frame_sample(videos, every_n=4).orderBy("video_id", "frame_idx")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality: REAL WAV decode (stdlib wave) over opaque binary
+    columns via mapInPandas. The fixture clips are pure sines with integer
+    cycle counts, so sample counts, durations and RMS have closed forms —
+    an exact SQL oracle for a binary-decode pipeline."""
+    from supercrawler_spark import fixtures
+    from supercrawler_spark.datapipe import multimodal as MM
+    audio = spark.createDataFrame(fixtures.make_audio(16))
+    return (MM.audio_features(audio)
+            .select("audio_id", "sample_rate", "n_samples", "duration_s", "rms")
+            .orderBy("audio_id"))
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Structured Streaming: event-time tumbling windows + watermark over a
     parquet stream (availableNow), complete-mode — equals the batch GROUP BY
@@ -582,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "audio_features": q_audio_features,
         "crawl_e2e": q_crawl_e2e,
     }
 
@@ -757,6 +771,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT md5(text) AS content_hash FROM documents
+        """,
+        "audio_features": """
+            SELECT 'aud-' || lpad(i::VARCHAR, 4, '0') AS audio_id,
+                   16000::INT AS sample_rate,
+                   (16000 + i * 1000)::BIGINT AS n_samples,
+                   round((16000 + i * 1000) / 16000.0, 4) AS duration_s,
+                   round((0.1 + 0.05 * (i % 8)) / sqrt(2.0), 4) AS rms
+            FROM range(16) t(i)
         """,
         "stateful_host_counts": """
             SELECT user_id, count(*)::BIGINT AS n_events

@@ -19,18 +19,27 @@ reproducible and comparable against the pure-Python oracle
 the reference's one-URL-at-a-time loop and crawl order matches it exactly.
 
 Scale notes (100 TB / 10^10-URL frontier):
+- **LSM frontier**: an immutable parquet-backed base layer + a
+  batch-bounded delta of touched keys (merge-on-read view). A cycle costs
+  O(batch + |delta|) — the base is scanned (due predicate pushed into
+  row-group pruning) but never rewritten or shuffled; compaction happens
+  only at snapshot commits. Measured flat per-cycle time 1M → 10M rows
+  (scripts/bench_frontier_scale.py);
 - the frontier is never windowed globally: the pop ranks within host
   partitions then takes a global top-B via sort+limit (TakeOrdered — no
   single-partition shuffle of the frontier);
-- only the B popped rows (url/seq/num_errors — no bodies) ever reach the
-  driver: B is the politeness budget, bounded by config, not by data size;
+- only the B popped rows (the politeness budget, no bodies) ever reach
+  the driver, and they double as the merge's update side — the upsert is
+  computed over a batch-sized frame;
 - seq assignment windows only over the CYCLE's new links (budget-bounded),
-  never over the frontier;
-- the seen-check is an anti-join keyed on the URL, prefiltered by the
-  persisted partitioned Bloom filter (supercrawler_spark.bloom) so at scale
-  only probable-duplicates reach the shuffle;
-- the robots cache is a genuinely small dimension (one row per host-key),
-  broadcast-joined per cycle (Crawler.js robots cache, O6).
+  never over the frontier; DataFrame-scale seed lists (seed_df) get dense
+  seqs via per-partition offsets;
+- the seen-check never shuffles the frontier: candidates are
+  Bloom-prefiltered (supercrawler_spark.bloom, persisted in snapshots) and
+  the exact verify streams the frontier through broadcast semi/anti joins;
+- robots state is a host-keyed table carried in snapshots with a bounded
+  LRU memo; per cycle only the batch's keys are looked up and broadcast
+  (Crawler.js robots cache, O6) — the driver never holds the host universe.
 """
 
 from __future__ import annotations

@@ -143,6 +143,53 @@ def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "video_id",
     return df.select(id_col, bytes_col).mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("audio_id", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "audio_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Audio feature extraction over opaque binary columns: a REAL WAV
+    decode (stdlib ``wave`` — PCM16 mono/stereo) in one mapInPandas pass →
+    sample rate, duration, RMS loudness, peak. Corrupt payloads degrade to
+    error rows. A production build swaps the parser for soundfile/ffmpeg;
+    the schema and Arrow batch shape stay the same."""
+    import io
+    import wave
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        ch = w.getnchannels()
+                        if w.getsampwidth() != 2:
+                            raise ValueError("only PCM16 supported")
+                        pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                    x = pcm.astype(np.float64) / 32767.0
+                    if ch > 1:
+                        x = x.reshape(-1, ch).mean(axis=1)
+                    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                    peak = float(np.abs(x).max()) if len(x) else 0.0
+                    rows.append((aid, sr, n, round(n / sr, 4),
+                                 round(rms, 4), round(peak, 4), None))
+                except Exception as exc:
+                    rows.append((aid, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
 def thumbnail_vectors(df: DataFrame, id_col: str = "image_id",
                       bytes_col: str = "bytes", side: int = 4) -> DataFrame:
     """Resize stage: block-mean grayscale thumbnail as array<float> —

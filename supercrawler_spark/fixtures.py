@@ -114,6 +114,35 @@ def make_videos(n: int = 4, n_frames: int = 12, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_audio(n: int = 8, sample_rate: int = 16000) -> pd.DataFrame:
+    """Synthetic audio payloads: REAL PCM16 mono WAV files (stdlib ``wave``
+    writer — no external codecs), each a pure sine with an integer number
+    of cycles so RMS is exactly amplitude/sqrt(2) up to 16-bit quantization.
+    Deterministic: clip i has n_samples = sr + i*1000, amplitude
+    0.1 + 0.05*(i%8), frequency (20+i) cycles per buffer."""
+    import io
+    import wave
+
+    rows = []
+    for i in range(n):
+        n_samples = sample_rate + i * 1000
+        amp = 0.1 + 0.05 * (i % 8)
+        cycles = 20 + i
+        t = np.arange(n_samples, dtype=np.float64)
+        sig = amp * np.sin(2 * np.pi * cycles * t / n_samples)
+        pcm = np.clip(np.round(sig * 32767), -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        rows.append({"audio_id": f"aud-{i:04d}", "bytes": buf.getvalue(),
+                     "sample_rate": sample_rate, "n_samples": n_samples,
+                     "caption": f"synthetic clip {i} for aud-{i:04d}"})
+    return pd.DataFrame(rows)
+
+
 def make_web_fixture(n_hosts: int = 4, pages_per_host: int = 6, n_images: int = 8,
                      seed: int = 42):
     """Returns (seeds_df, web_pages_df, images_df) as pandas DataFrames."""

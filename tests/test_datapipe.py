@@ -259,6 +259,27 @@ def test_frame_sample(spark):
     assert len(bad) == 1 and bad[0]["decode_error"] is not None
 
 
+def test_audio_features(spark):
+    import math
+
+    from supercrawler_spark import fixtures
+    audio = fixtures.make_audio(6)
+    corrupt = pd.DataFrame([{"audio_id": "aud-bad", "bytes": b"NOTAWAV",
+                             "sample_rate": 0, "n_samples": 0, "caption": "x"}])
+    df = spark.createDataFrame(pd.concat([audio, corrupt], ignore_index=True))
+    out = {r["audio_id"]: r for r in MM.audio_features(df).collect()}
+    for i in range(6):
+        r = out[f"aud-{i:04d}"]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 16000 + i * 1000
+        assert r["duration_s"] == round(r["n_samples"] / 16000, 4)
+        amp = 0.1 + 0.05 * (i % 8)
+        assert abs(r["rms"] - amp / math.sqrt(2)) < 1e-3
+        assert r["peak"] <= amp + 1e-3
+        assert r["decode_error"] is None
+    assert out["aud-bad"]["decode_error"] is not None
+
+
 def test_thumbnail_vectors(spark):
     from supercrawler_spark import fixtures
     images = spark.createDataFrame(fixtures.make_images(4))
