@@ -105,6 +105,27 @@ def test_salted_pop_identical_to_unsalted(spark, small_web):
     assert_parity(cr, res)
 
 
+def test_adaptive_exec_parity(spark, small_web):
+    """AQE on (the hot-host skew-join config for huge budgets) must not
+    change results — guards the adaptive_exec knob against plan-semantics
+    drift. (Engine-only knob: the oracle has no AQE notion.)"""
+    seeds, web_pdf, web_df = small_web
+    wd = tempfile.mkdtemp()
+    try:
+        cr = SparkCrawler(spark, web_df, wd,
+                          CrawlConfig(budget=8, order_mode="random",
+                                      adaptive_exec=True))
+        cr.seed(list(seeds["url"]))
+        cr.crawl(max_cycles=100)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    ora = OracleCrawler(web_pages_dict(web_pdf),
+                        OracleConfig(budget=8, order_mode="random"))
+    ora.seed(list(seeds["url"]))
+    res = ora.crawl(max_rounds=100)
+    assert_parity(cr, res)
+
+
 def test_robots_disabled_parity(spark, small_web):
     seeds, web_pdf, web_df = small_web
     cr, res = run_pair(spark, seeds, web_pdf, web_df, budget=8, mode="random",
