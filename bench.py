@@ -126,16 +126,18 @@ def main():
         fs_out = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
                                           "bench_frontier_scale.py"),
-             "1000000", "8000000"],
-            capture_output=True, text=True, timeout=420,
-            env={**os.environ, "SC_FS_CYCLES": "8"})
+             "1000000", "4000000"],
+            capture_output=True, text=True, timeout=240,
+            env={**os.environ, "SC_FS_CYCLES": "6"})
         frontier_scale = json.loads(fs_out.stdout.strip().splitlines()[-1])
     except Exception as exc:  # noqa: BLE001 — bench must still emit its line
-        frontier_scale = {"error": str(exc)[:200],
-                          "quiet_window_reference": {
-                              "median_cycle_s_1m": 3.81,
-                              "median_cycle_s_10m": 3.58,
-                              "cycle_time_ratio_at_10x_rows": 0.94}}
+        frontier_scale = {"error": str(exc)[:200]}
+    # full quiet-window measurement (BENCH/BASELINE.md §0): 10x rows →
+    # 0.94x per-cycle wall; the in-bench run above is the smaller/faster
+    # confirmation so the whole bench stays inside the driver budget
+    frontier_scale["quiet_window_reference"] = {
+        "median_cycle_s_1m": 3.81, "median_cycle_s_10m": 3.58,
+        "cycle_time_ratio_at_10x_rows": 0.94}
     n_small = max(2, CPUS // 4)
     cyc_small = _worker("cycle", f"local[{n_small}]")
     cyc_big = _worker("cycle", f"local[{CPUS}]")
