@@ -176,6 +176,14 @@ class Crawler:
     def get_url_list(self) -> UrlListView:
         return UrlListView(self)
 
+    def get_interval(self) -> float:
+        """Milliseconds between requests (Crawler.js:67-69)."""
+        return self._config.interval_ms
+
+    def get_concurrent_requests_limit(self) -> int:
+        """Max in-flight requests = per-cycle batch budget (Crawler.js:75-77)."""
+        return self._config.budget
+
     def get_request_options(self) -> dict:
         """Custom options merged into every HTTP call (Crawler.js:98-100);
         consumed by webfetch.fetch_stage in production."""

@@ -208,6 +208,8 @@ def test_url_list_class_instances(spark, web_df):
     assert c1._config.delay_half_life_ms == 500.0
     c2 = Crawler(spark, df, url_list=DbUrlList(recrawl_in_ms=99.0))
     assert c2._config.order_mode == "random" and c2._config.recrawl_ms == 99.0
+    assert c2.get_interval() == 1000.0
+    assert c2.get_concurrent_requests_limit() == 5
     c3 = Crawler(spark, df, url_list=FifoUrlList())
     assert c3._config.order_mode == "fifo"
     # explicit engine kwargs still win over the instance's options
