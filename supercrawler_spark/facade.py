@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .crawler import CrawlConfig, SparkCrawler
 from .handlers import HandlerRegistry
+from .records import Url
 
 _URL_LIST_MODES = {"db": "random", "fifo": "fifo", "redis": "decay"}
 
@@ -97,16 +98,23 @@ class UrlListView:
     def __init__(self, crawler: "Crawler"):
         self._crawler = crawler
 
-    def insert_if_not_exists(self, url) -> None:
-        url = getattr(url, "url", url)  # accept Url-like objects
-        self._crawler._queue_url(str(url))
+    def insert_if_not_exists(self, url) -> Url:
+        """Queue a URL; returns the ``Url`` record, like the reference's
+        ``Promise<Url>`` (lib/FifoUrlList.js:26-38; DbUrlList.js returns the
+        passed url object unchanged on a unique-key conflict)."""
+        rec = url if isinstance(url, Url) else Url(str(getattr(url, "url", url)))
+        self._crawler._queue_url(rec.url)
+        return rec
 
-    def insert_if_not_exists_bulk(self, urls) -> None:
+    def insert_if_not_exists_bulk(self, urls) -> list[Url]:
         """One batched seed pass — the reference bulk API exists for
         50k-URL sitemap batches (lib/DbUrlList.js:123-139); seed() dedups
-        and anti-joins the whole list in a single Spark job."""
-        self._crawler._queue_urls(
-            [str(getattr(u, "url", u)) for u in urls])
+        and anti-joins the whole list in a single Spark job. Returns the
+        ``Url`` records in input order."""
+        recs = [u if isinstance(u, Url)
+                else Url(str(getattr(u, "url", u))) for u in urls]
+        self._crawler._queue_urls([r.url for r in recs])
+        return recs
 
 
 class Crawler:
@@ -161,6 +169,7 @@ class Crawler:
         self._pending_seeds: list[str] = []
         self._engine: SparkCrawler | None = None
         self._started = False
+        self._thread = None
 
     # -- reference API ------------------------------------------------------
     def add_handler(self, content_type, handler=None) -> "Crawler":
@@ -209,22 +218,51 @@ class Crawler:
 
     def start(self, max_cycles: int | None = None) -> None:
         """Run micro-cycles until exhaustion / stop() / max_cycles, emitting
-        reference events. (The reference's start() is non-blocking on an
-        event loop; here the loop runs to completion — stop() from a
-        listener callback halts after the current cycle.)"""
+        reference events — blocking form (the loop runs to completion in
+        the caller's thread; stop() from a listener callback halts after
+        the current cycle). For the reference's non-blocking
+        ``crawler.start(); ...; crawler.stop()`` shape use
+        :meth:`start_async`."""
         if self._started:
             return  # re-entry guard (Crawler.js:108-113)
         self._started = True
-        if self._listeners.get("links"):
-            # opt-in: ship each cycle's discovered links to the driver so
-            # the reference `links(url, links)` event can fire
-            self._config.collect_links = True
+        self._run_loop(max_cycles)
+
+    def start_async(self, max_cycles: int | None = None) -> "Crawler":
+        """Non-blocking start, like the reference event loop
+        (lib/Crawler.js:108-126): returns immediately, the crawl loop runs
+        on a background thread and keeps emitting events. ``stop()`` halts
+        after the current cycle; ``join()`` waits for the loop to drain.
+        SparkSession is thread-safe for job submission, so the background
+        loop shares the caller's session."""
+        import threading
+        if self._started:
+            return self
+        self._started = True
+        self._thread = threading.Thread(
+            target=self._run_loop, args=(max_cycles,), daemon=True)
+        self._thread.start()
+        return self
+
+    def join(self, timeout: float | None = None) -> None:
+        """Wait for a start_async() loop to finish (exhaustion or stop())."""
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+
+    def _run_loop(self, max_cycles: int | None) -> None:
         eng = self.engine
         if self._pending_seeds:
             eng.seed(self._pending_seeds)
             self._pending_seeds = []
         n_work = 0
         while self._started and (max_cycles is None or n_work < max_cycles):
+            if self._listeners.get("links") and not self._config.collect_links:
+                # live latch (the reference is a plain EventEmitter —
+                # crawler.on('links', ...) attached AFTER start, e.g. from
+                # another event callback, must still receive real link
+                # lists); checked each cycle, flips the shared engine config
+                self._config.collect_links = True
             before = len(eng.crawl_order)
             stats = eng.run_cycle()
             if stats.popped:

@@ -37,16 +37,25 @@ DEFAULT_UA = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
 def merge_request_options(defaults: dict, request_opts: dict | None) -> dict:
     """Deep-merge user request options over the per-request defaults — the
     reference merges ``opts.request`` into every HTTP call
-    (lib/Crawler.js:382-394, lodash _.merge: nested dicts merge, user keys
-    win)."""
-    out = {k: (dict(v) if isinstance(v, dict) else v)
-           for k, v in defaults.items()}
-    for k, v in (request_opts or {}).items():
-        if isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = {**out[k], **v}
-        else:
-            out[k] = v
-    return out
+    (lib/Crawler.js:382-394, lodash _.merge: fully recursive — nested dicts
+    merge at any depth, user keys win). The result shares no dict with
+    either input, so callers can mutate it freely."""
+    def _copy(d: dict) -> dict:
+        return {k: (_copy(v) if isinstance(v, dict) else v)
+                for k, v in d.items()}
+
+    def _merge(base: dict, over: dict) -> dict:
+        out = _copy(base)
+        for k, v in over.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = _merge(out[k], v)
+            elif isinstance(v, dict):
+                out[k] = _copy(v)
+            else:
+                out[k] = v
+        return out
+
+    return _merge(defaults, request_opts or {})
 
 
 def _default_transport(session, url, options):

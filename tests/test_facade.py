@@ -232,3 +232,79 @@ def test_redis_url_list_mode(spark, web_df):
     crawler.start(max_cycles=30)
     assert len(crawler.engine.seen_urls()) > 10
     assert crawler.engine.host_delay  # decay state maintained
+
+
+def test_insert_if_not_exists_returns_url_record(spark, web_df):
+    """Reference insertIfNotExists resolves to the Url record
+    (lib/FifoUrlList.js:26-38, test/FifoUrlList.spec.js:69-105)."""
+    from supercrawler_spark.records import Url
+
+    df, _ = web_df
+    crawler = Crawler(spark, df, url_list="fifo")
+    lst = crawler.get_url_list()
+    rec = lst.insert_if_not_exists("http://host0.example/index.html")
+    assert isinstance(rec, Url)
+    assert rec.url == "http://host0.example/index.html"
+    assert rec.get_unique_id() == rec.url
+    # Url instances pass through unchanged (DbUrlList returns the passed
+    # object on a unique-key conflict)
+    given = Url("http://host0.example/a.html", status_code=None)
+    assert lst.insert_if_not_exists(given) is given
+    bulk = lst.insert_if_not_exists_bulk(
+        ["http://host1.example/index.html", Url("http://host1.example/b.html")])
+    assert [r.url for r in bulk] == ["http://host1.example/index.html",
+                                    "http://host1.example/b.html"]
+    assert all(isinstance(r, Url) for r in bulk)
+
+
+def test_start_async_stop_and_join(spark, web_df):
+    """Reference-style non-blocking start (lib/Crawler.js:108-126,
+    test/Crawler.spec.js:329-366): start_async returns immediately, events
+    flow from the background loop, stop() halts it, join() drains."""
+    import time
+
+    df, _ = web_df
+    events = []
+    crawler = (Crawler(spark, df, concurrent_requests_limit=4, url_list="db")
+               .add_handler("text/html", html_link_parser())
+               .on("crawledurl", lambda *a: events.append(a)))
+    crawler.queue_url("http://host0.example/index.html")
+    crawler.queue_url("http://host1.example/index.html")
+    t0 = time.time()
+    crawler.start_async()
+    assert time.time() - t0 < 5.0  # returned without draining the crawl
+    # events flow while the caller's thread is free
+    deadline = time.time() + 120
+    while not events and time.time() < deadline:
+        time.sleep(0.1)
+    assert events, "no events from the background crawl loop"
+    crawler.stop()
+    crawler.join(timeout=120)
+    assert not crawler._started
+    n_after_join = len(events)
+    time.sleep(0.5)
+    assert len(events) == n_after_join  # loop actually stopped
+
+
+def test_links_listener_registered_after_start_gets_real_links(spark, web_df):
+    """The reference is a plain EventEmitter: crawler.on('links', ...)
+    attached after start (e.g. from another callback) still receives real
+    link lists (Crawler.js:260)."""
+    df, _ = web_df
+    link_payloads = []
+    crawler = (Crawler(spark, df, concurrent_requests_limit=2, url_list="db")
+               .add_handler("text/html", html_link_parser()))
+
+    hooked = []
+
+    def late_hook(*_a):
+        if not hooked:
+            hooked.append(True)
+            crawler.on("links", lambda url, links: link_payloads.append((url, links)))
+
+    crawler.on("crawledurl", late_hook)
+    crawler.queue_url("http://host0.example/index.html")
+    crawler.start(max_cycles=20)
+    assert hooked
+    # at least one post-registration page reported a NON-empty link list
+    assert any(links for _, links in link_payloads), link_payloads

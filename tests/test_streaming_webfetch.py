@@ -130,3 +130,17 @@ def test_merge_request_options_nested():
     out = webfetch.merge_request_options(base, None)
     out["headers"]["X"] = "y"
     assert "X" not in base["headers"]
+    # fully recursive like lodash _.merge (Crawler.js:382-394): two-level
+    # nested defaults merge instead of being clobbered
+    deep = webfetch.merge_request_options(
+        {"proxies": {"http": {"host": "p", "port": 80}},
+         "headers": {"User-Agent": "ua"}},
+        {"proxies": {"http": {"port": 8080}, "https": {"host": "s"}}})
+    assert deep["proxies"]["http"] == {"host": "p", "port": 8080}
+    assert deep["proxies"]["https"] == {"host": "s"}
+    assert deep["headers"] == {"User-Agent": "ua"}
+    # user-side nested dicts are copied too
+    user = {"proxies": {"http": {"port": 1}}}
+    out2 = webfetch.merge_request_options({}, user)
+    out2["proxies"]["http"]["port"] = 2
+    assert user["proxies"]["http"]["port"] == 1
