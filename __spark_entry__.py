@@ -331,10 +331,16 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Bucket-collision ANN with the deterministic sign-projection LSH
+    family (similarity.det_lsh_ann_topk): all-JVM integer signatures, so
+    the DuckDB oracle regenerates the identical buckets and the query is
+    fully oracle-checked (the Gaussian-hyperplane variant lsh_ann_topk
+    remains the numpy scale path, recall-gated in pytest)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 20)
-    return SIM.lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    return SIM.det_lsh_ann_topk(emb, queries, k=5, dim=64,
+                                n_planes=4, n_tables=8)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -958,6 +964,11 @@ def oracle_sql() -> dict[str, str]:
                   (sqrt(list_dot_product(a.v, a.v)) *
                    sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
+        # deterministic sign-projection LSH: the SQL regenerates the same
+        # integer LCG hyperplane weights as the Spark query, so bucket
+        # collisions — and therefore the ANN result — match exactly
+        "ann_lsh_topk": SIM.det_lsh_oracle_sql(
+            dim=64, n_planes=4, n_tables=8, k=5),
     }
     # minhash: explode(distinct 2-gram shingles) → per-doc salted-md5 mins
     shingle_sql = """

@@ -65,11 +65,13 @@ def main():
             checks.append((desc, ok))
         sections.append((name, trim(p), checks))
 
-    audit("flagship_frontier_pop (W1: due-filter + host rank + top-B)",
+    audit("flagship_frontier_pop (W1 semantics on the DRIVER's events table "
+          "— user_id plays host; the real frontier pop is audited in the "
+          "run_cycle section below)",
           qs["flagship_frontier_pop"](spark, sf_dir), [
               ("due predicate pushed to parquet scan", r"PushedFilters: \[IsNotNull\(ts\), LessThan\(ts", True),
               ("top-B is TakeOrderedAndProject (no global sort of the frontier)", r"TakeOrderedAndProject", True),
-              ("window ranks within host partitions (hash by user_id)", r"Arguments: hashpartitioning\(user_id", True),
+              ("window ranks within per-key partitions (hash by user_id, the host analog)", r"Arguments: hashpartitioning\(user_id", True),
           ])
     audit("anti_join_dedup (J1: seen-set anti-join)",
           qs["anti_join_dedup"](spark, sf_dir), [
@@ -117,6 +119,49 @@ def main():
           cr.frontier.filter(F.col("next_fetch_time") < F.lit(0.0)), [
               ("due predicate reaches the parquet scan (row-group pruning)", r"PushedFilters: \[IsNotNull\(next_fetch_time\), LessThan\(next_fetch_time", True),
           ])
+
+    # ---- the REAL micro-cycle: pop → fetch join → kernel → dedup → merge
+    # over a parquet-backed frontier (seed_df committed + compacted).
+    # run_cycle records each stage's formatted plan via plan_sink; the same
+    # claims are asserted in tests/test_plans.py.
+    from supercrawler_spark import fixtures
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    cyc = SparkCrawler(spark, spark.createDataFrame(web), tempfile.mkdtemp(),
+                       CrawlConfig(budget=6, order_mode="random",
+                                   robots_enabled=False))
+    cyc.seed_df(spark.createDataFrame([(u,) for u in sorted(set(seeds["url"]))],
+                                      ["url"]))
+    sink = {}
+    cyc.plan_sink = sink
+    cyc.run_cycle()
+
+    def audit_text(name, plan, claims):
+        checks = [(desc, bool(re.search(pat, plan)) == want)
+                  for desc, pat, want in claims]
+        sections.append((name, trim(plan), checks))
+
+    audit_text("run_cycle / pop (W1 on the real frontier)", sink["pop"], [
+        ("due predicate pushed into the parquet base scan", r"PushedFilters: \[IsNotNull\(next_fetch_time\), LessThan\(next_fetch_time", True),
+        ("top-B via TakeOrderedAndProject (no global sort/exchange of the frontier)", r"TakeOrderedAndProject", True),
+        ("no Exchange on the base layer", r"Exchange hashpartitioning\(next_fetch_time", False),
+    ])
+    audit_text("run_cycle / fetch join (J5: batch broadcast INTO web_pages)", sink["fetch_join"], [
+        ("politeness batch broadcast into the pages scan", r"BroadcastHashJoin", True),
+        ("pages side never shuffled (no sort-merge join)", r"SortMergeJoin", False),
+    ])
+    audit_text("run_cycle / handler kernel (P1-P3, one Arrow pass)", sink["kernel"], [
+        ("single vectorized ArrowEvalPython/mapInPandas stage", r"MapInPandas|ArrowEvalPython", True),
+        ("body column pruned into the kernel only (no body in a join key)", r"SortMergeJoin", False),
+    ])
+    audit_text("run_cycle / dedup (J1: links − seen, frontier never shuffles)", sink["dedup"], [
+        ("seen-side streams through broadcast semi/anti joins", r"BroadcastHashJoin .*LeftSemi|LeftSemi, BuildRight", True),
+        ("anti join present (exact verify)", r"LeftAnti", True),
+        ("no SortMergeJoin (frontier not exchanged on url)", r"SortMergeJoin", False),
+    ])
+    audit_text("run_cycle / merge (S6: batch-sized upsert delta)", sink["merge"], [
+        ("no SortMergeJoin (update side is the popped batch)", r"SortMergeJoin", False),
+        ("no CartesianProduct", r"CartesianProduct", False),
+    ])
 
     lines = ["# PLANS — physical-plan audit of the flagship operators",
              "",

@@ -4,23 +4,31 @@ north_star: "URL-seen membership is a partitioned Bloom filter (with a
 cuckoo-filter variant for deletable entries) built via pandas/Arrow UDAFs
 over canonicalized+murmur3-hashed URLs".
 
-Design:
+Design — the filter IS a distributed table, never driver-resident:
 - the url_hash space is split into P partitions by pmod(murmur3(url), P);
-  each partition owns an m-bit array
-- build: one ``applyInPandas`` pass per partition computes its bit array
-  (numpy, vectorized Kirsch-Mitzenmacher double hashing from the two
-  independent JVM-side hashes xxhash64 + murmur3 — no Python hashing at
-  all); arrays are OR-merged into the persisted filter
-- probe: candidates carry (pid, h1, h2) columns; an Arrow-batched pandas UDF
-  tests k probe bits against the broadcast bit arrays
+  each partition owns an m-bit array, held as one row of a
+  ``(pid int, bitset binary)`` DataFrame (``self._table``, localCheckpointed
+  so repeated merges don't grow lineage)
+- build (``add``): one ``applyInPandas`` pass per partition computes the
+  BATCH's bit array (numpy, vectorized Kirsch-Mitzenmacher double hashing
+  from the two independent JVM-side hashes xxhash64 + murmur3 — no Python
+  hashing at all); the batch arrays OR-merge into the existing bitset table
+  via a full-outer join on pid + an Arrow-batched binary OR. The bit matrix
+  NEVER materializes on the driver: the only driver transfer in add() is
+  one scalar row count. At 10^10 keys (~12 GB of bits) nothing round-trips.
+- probe, scale path (``maybe_seen_flag_cogrouped``): candidates shuffle by
+  pid and cogroup against the bitset table — each of the P partition arrays
+  travels exactly once, to the task that owns that url_hash range
+- probe, small path (``maybe_seen_flag``): the table is collected once and
+  broadcast; right when the filter fits comfortably in executor memory
+  (sandbox sizes), wrong at 10^10 keys — use the cogroup probe there
+- persistence: ``to_df`` returns the table itself (plus scalar meta
+  columns) so a snapshot commit writes it directly; ``from_df`` re-roots
+  the table on the loaded parquet — neither direction collects bitsets
 - ``prefilter``: definitively-new rows (no false negatives) skip the
-  anti-join entirely; only probable-duplicates shuffle against the seen
-  table. At 10^10 URLs with ~1% discovery-duplication this removes ~99% of
-  the anti-join's build-side traffic.
-
-Sandbox sizing: P=32, 10 bits/key → ~1.2% FPR at capacity. At cluster scale
-the bit arrays live in a parquet artifact co-partitioned with the candidate
-buckets instead of a driver broadcast; the probe math is unchanged.
+  anti-join entirely; only probable-duplicates reach the exact verify. At
+  10^10 URLs with ~1% discovery-duplication this removes ~99% of the
+  anti-join's build-side traffic.
 """
 
 from __future__ import annotations
@@ -40,7 +48,41 @@ BLOOM_SCHEMA = T.StructType([
     T.StructField("m", T.LongType()),
     T.StructField("k", T.LongType()),
     T.StructField("n_added", T.LongType()),
+    T.StructField("p", T.IntegerType()),
 ])
+
+_TABLE_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType()),
+    T.StructField("bitset", T.BinaryType()),
+])
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) probe bit positions via double hashing, uint64 wraparound.
+    Module-level so executor closures capture only the (m, k) scalars —
+    a bound method would drag the whole filter object (and its DataFrame
+    handle) into the pickle."""
+    u1 = h1.astype(np.uint64)
+    u2 = (h2.astype(np.uint64) | np.uint64(1))  # odd step
+    j = np.arange(k, dtype=np.uint64)
+    return ((u1[:, None] + j[None, :] * u2[:, None])
+            % np.uint64(m)).astype(np.int64)
+
+
+@F.pandas_udf(T.BinaryType())
+def _or_bitsets(a: pd.Series, b: pd.Series) -> pd.Series:
+    """OR-merge two binary bitset columns (either side nullable — a pid
+    present on only one side of the full-outer merge keeps its array)."""
+    out = []
+    for x, y in zip(a, b):
+        if x is None:
+            out.append(y)
+        elif y is None:
+            out.append(x)
+        else:
+            out.append((np.frombuffer(x, dtype=np.uint8)
+                        | np.frombuffer(y, dtype=np.uint8)).tobytes())
+    return pd.Series(out)
 
 
 class PartitionedBloom:
@@ -51,19 +93,35 @@ class PartitionedBloom:
         m = max(1024, total_bits // partitions)
         self.m = (m + 63) // 64 * 64
         self.k = max(1, int(round(bits_per_key * math.log(2))))
-        self.bits = np.zeros((self.P, self.m // 8), dtype=np.uint8)
         self.n_added = 0
-        self._bc = None  # cached broadcast of self.bits (invalidated on add)
+        self._table: DataFrame | None = None  # (pid, bitset) — authoritative
+        self._bits_local: np.ndarray | None = None  # small-path cache
+        self._bc = None  # cached broadcast of the local matrix
+        self._last_flagged: DataFrame | None = None  # prefilter persist slot
+
+    # -- local mirror (small-filter path ONLY — tests + broadcast probe) ----
+    @property
+    def bits(self) -> np.ndarray:
+        """Driver-side matrix view. Collects the table ON DEMAND — the
+        engine's hot paths (add / cogroup probe / persist) never touch it;
+        it exists for the broadcast probe and equality tests at sandbox
+        sizes."""
+        if self._bits_local is None:
+            bits = np.zeros((self.P, self.m // 8), dtype=np.uint8)
+            if self._table is not None:
+                for r in self._table.collect():
+                    bits[int(r["pid"])] = np.frombuffer(bytes(r["bitset"]),
+                                                        dtype=np.uint8)
+            self._bits_local = bits
+        return self._bits_local
 
     def _broadcast(self, spark: SparkSession):
-        """Broadcast the bit matrix ONCE and reuse it across probe calls /
-        cycles; add() invalidates. Without this every cycle re-shipped the
-        whole array to every executor."""
         if self._bc is None:
             self._bc = spark.sparkContext.broadcast(self.bits)
         return self._bc
 
-    def _invalidate_broadcast(self) -> None:
+    def _invalidate_caches(self) -> None:
+        self._bits_local = None
         if self._bc is not None:
             try:
                 self._bc.unpersist()
@@ -79,19 +137,20 @@ class PartitionedBloom:
                 .withColumn("_pid", F.pmod(F.hash(F.col(col)), F.lit(self.P))))
 
     def _probe_positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """(n, k) probe bit positions via double hashing, uint64 wraparound."""
-        u1 = h1.astype(np.uint64)
-        u2 = (h2.astype(np.uint64) | np.uint64(1))  # odd step
-        j = np.arange(self.k, dtype=np.uint64)
-        return ((u1[:, None] + j[None, :] * u2[:, None])
-                % np.uint64(self.m)).astype(np.int64)
+        return _positions(h1, h2, self.m, self.k)
+
+    def _table_or_empty(self, spark: SparkSession) -> DataFrame:
+        if self._table is not None:
+            return self._table
+        return spark.createDataFrame([], schema=_TABLE_SCHEMA)
 
     # -- build ---------------------------------------------------------------
     def add(self, spark: SparkSession, df: DataFrame, col: str = "url") -> int:
-        """Distributed per-partition bit-array build (applyInPandas UDAF);
-        arrays OR-merge into the filter. Returns rows added."""
+        """Distributed build + merge: per-partition batch bit arrays
+        (applyInPandas UDAF) full-outer-join the existing bitset table on
+        pid and OR-merge executor-side. The bit matrix never reaches the
+        driver — the only collect is one scalar (rows added). Returns it."""
         m, k = self.m, self.k
-        probe = self._probe_positions
 
         schema = T.StructType([
             T.StructField("pid", T.IntegerType()),
@@ -102,36 +161,57 @@ class PartitionedBloom:
         def build(key, pdf):
             pid = int(key[0])
             bits = np.zeros(m // 8, dtype=np.uint8)
-            pos = probe(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()).ravel()
+            pos = _positions(pdf["_h1"].to_numpy(),
+                             pdf["_h2"].to_numpy(), m, k).ravel()
             np.bitwise_or.at(bits, pos >> 3,
                              (1 << (pos & 7)).astype(np.uint8))
             return pd.DataFrame({"pid": [pid], "bitset": [bits.tobytes()],
                                  "n": [len(pdf)]})
 
         hashed = self._with_hashes(df, col).select("_h1", "_h2", "_pid")
-        rows = hashed.groupBy("_pid").applyInPandas(build, schema=schema).collect()
-        total = 0
-        for r in rows:
-            self.bits[r["pid"]] |= np.frombuffer(r["bitset"], dtype=np.uint8)
-            total += r["n"]
+        batch = hashed.groupBy("_pid").applyInPandas(build, schema=schema)
+        batch = batch.persist()
+        total = batch.agg(F.sum("n").alias("s")).first()["s"]  # scalar only
+        total = int(total) if total is not None else 0
+        if total == 0:
+            batch.unpersist()
+            return 0
+        new_bits = batch.select("pid", F.col("bitset").alias("_new"))
+        if self._table is None:
+            merged = new_bits.select("pid", F.col("_new").alias("bitset"))
+        else:
+            old = self._table.select("pid", F.col("bitset").alias("_old"))
+            merged = (old.join(new_bits, "pid", "full_outer")
+                      .select("pid", _or_bitsets(F.col("_old"), F.col("_new"))
+                              .alias("bitset")))
+        # eager localCheckpoint: truncates the merge lineage (cost per add
+        # stays O(P rows), not O(history)) and materializes executor-side
+        self._table = merged.localCheckpoint(eager=True)
+        batch.unpersist()
         self.n_added += total
-        if total:
-            self._invalidate_broadcast()
+        self._invalidate_caches()
         return total
+
+    def rebase(self, table_df: DataFrame) -> None:
+        """Re-root the bitset table on a just-committed parquet snapshot
+        (releases the executor-side checkpoint blocks; the bits are
+        unchanged, so probe caches stay valid)."""
+        self._table = table_df.select("pid", "bitset")
 
     # -- probe ---------------------------------------------------------------
     def maybe_seen_flag(self, spark: SparkSession, df: DataFrame,
                         col: str = "url",
                         flag: str = "_maybe_seen") -> DataFrame:
-        """Adds a boolean column: False ⇒ definitively never seen."""
+        """Adds a boolean column: False ⇒ definitively never seen.
+        Broadcast probe — the SMALL-filter path (collects the table once,
+        cached until the next add). Use the cogroup probe at web scale."""
         m, k = self.m, self.k
-        probe = self._probe_positions
         bc = self._broadcast(spark)
 
         @F.pandas_udf(T.BooleanType())
         def test(h1: pd.Series, h2: pd.Series, pid: pd.Series) -> pd.Series:
             bits = bc.value
-            pos = probe(h1.to_numpy(), h2.to_numpy())  # (n, k)
+            pos = _positions(h1.to_numpy(), h2.to_numpy(), m, k)  # (n, k)
             pid_np = pid.to_numpy()
             byte = bits[pid_np[:, None], pos >> 3]
             hit = (byte & (1 << (pos & 7)).astype(np.uint8)) != 0
@@ -144,22 +224,18 @@ class PartitionedBloom:
     def maybe_seen_flag_cogrouped(self, spark: SparkSession, df: DataFrame,
                                   col: str = "url",
                                   flag: str = "_maybe_seen") -> DataFrame:
-        """Co-partitioned probe — the parquet-artifact path: no driver-side
-        broadcast of the whole bit matrix. The bitset table is keyed by pid;
-        candidates shuffle by pid and each task receives ONLY its own
-        partition's bit array via cogroup. At 10^10 keys (~12 GB of bits)
-        the broadcast probe would ship the full matrix to every executor;
-        here each of the P partition arrays travels exactly once, to the
-        task that owns that url_hash range. Result is identical to
-        ``maybe_seen_flag``."""
-        probe = self._probe_positions
+        """Co-partitioned probe — the scale path: no driver or broadcast
+        copy of the bit matrix. Candidates shuffle by pid and each task
+        receives ONLY its own partition's bit array via cogroup against the
+        bitset TABLE. At 10^10 keys (~12 GB of bits) the broadcast probe
+        would ship the full matrix to every executor; here each of the P
+        partition arrays travels exactly once, to the task that owns that
+        url_hash range. Result is identical to ``maybe_seen_flag``."""
+        m, k = self.m, self.k
         orig_cols = [f.name for f in df.schema.fields]
         out_schema = T.StructType(list(df.schema.fields) +
                                   [T.StructField(flag, T.BooleanType())])
-        bloom_df = spark.createDataFrame(
-            [(p, self.bits[p].tobytes()) for p in range(self.P)],
-            schema=T.StructType([T.StructField("pid", T.IntegerType()),
-                                 T.StructField("bitset", T.BinaryType())]))
+        bloom_df = self._table_or_empty(spark)
         hashed = self._with_hashes(df, col)
 
         def probe_group(cand: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -171,7 +247,8 @@ class PartitionedBloom:
                 out[flag] = False
                 return out
             bits = np.frombuffer(bits_pdf["bitset"].iloc[0], dtype=np.uint8)
-            pos = probe(cand["_h1"].to_numpy(), cand["_h2"].to_numpy())
+            pos = _positions(cand["_h1"].to_numpy(),
+                             cand["_h2"].to_numpy(), m, k)
             byte = bits[pos >> 3]
             hit = (byte & (1 << (pos & 7)).astype(np.uint8)) != 0
             out[flag] = hit.all(axis=1)
@@ -196,12 +273,20 @@ class PartitionedBloom:
         - "broadcast": suspects broadcast into a streaming left_semi scan
           of seen, hits broadcast back — the seen table is read once,
           column-pruned, never exchanged. Right when suspects are bounded
-          (the crawl cycle's politeness-budget links) and seen is huge."""
+          (the crawl cycle's politeness-budget links) and seen is huge.
+
+        The flagged intermediate is persisted (both the definite-new and
+        suspect branches read it); the PREVIOUS call's persist is released
+        here, and ``release()`` drops the last one — so a crawl loop
+        calling prefilter once per cycle holds at most one cycle's flags
+        in executor storage, not an unbounded accumulation."""
+        self.release()
         if method == "cogroup":
             flagged = self.maybe_seen_flag_cogrouped(
                 spark, candidates, col).persist()
         else:
             flagged = self.maybe_seen_flag(spark, candidates, col).persist()
+        self._last_flagged = flagged
         definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         if verify == "broadcast":
@@ -211,11 +296,68 @@ class PartitionedBloom:
             verified_new = suspects.join(seen, col, "left_anti")
         return definite_new.unionByName(verified_new)
 
+    def release(self) -> None:
+        """Unpersist the last prefilter's flagged intermediate (call after
+        downstream actions have consumed the result)."""
+        if self._last_flagged is not None:
+            try:
+                self._last_flagged.unpersist()
+            except Exception:
+                pass
+            self._last_flagged = None
+
     # -- persistence ----------------------------------------------------------
+    def _zero_table(self, spark: SparkSession) -> DataFrame:
+        """All-P zero-bitset table, generated executor-side (an empty filter
+        at web scale must not materialize 12 GB of zeros on the driver)."""
+        mbytes = self.m // 8
+
+        @F.pandas_udf(T.BinaryType())
+        def zeros(pid: pd.Series) -> pd.Series:
+            z = bytes(mbytes)
+            return pd.Series([z] * len(pid))
+
+        return (spark.range(self.P)
+                .select(F.col("id").cast("int").alias("pid"),
+                        zeros(F.col("id")).alias("bitset")))
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The persistable filter AS a DataFrame — the bitset table itself
+        plus scalar meta columns. No collect: a snapshot commit streams the
+        table straight to parquet."""
+        t = self._table if self._table is not None else self._zero_table(spark)
+        return t.select(
+            "pid", "bitset",
+            F.lit(self.m).cast("long").alias("m"),
+            F.lit(self.k).cast("long").alias("k"),
+            F.lit(self.n_added).cast("long").alias("n_added"),
+            F.lit(self.P).cast("int").alias("p"))
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "PartitionedBloom":
+        """Restore from a persisted snapshot table. Reads three scalar meta
+        columns (column-pruned — no bitset bytes cross the driver) and
+        re-roots the bitset table on the parquet via localCheckpoint so a
+        later snapshot GC can't pull the files out from under it."""
+        meta = df.select("m", "k", "n_added",
+                         *(["p"] if "p" in df.columns else [])).first()
+        obj = cls.__new__(cls)
+        obj.m = int(meta["m"])
+        obj.k = int(meta["k"])
+        obj.n_added = int(meta["n_added"])
+        obj.P = int(meta["p"]) if "p" in df.columns else int(df.count())
+        obj._table = df.select("pid", "bitset").localCheckpoint(eager=True)
+        obj._bits_local = None
+        obj._bc = None
+        obj._last_flagged = None
+        return obj
+
+    # small-scale helpers kept for tests / offline inspection
     def to_pandas(self) -> pd.DataFrame:
+        bits = self.bits
         return pd.DataFrame({
             "pid": np.arange(self.P, dtype=np.int32),
-            "bitset": [self.bits[p].tobytes() for p in range(self.P)],
+            "bitset": [bits[p].tobytes() for p in range(self.P)],
             "m": np.full(self.P, self.m, dtype=np.int64),
             "k": np.full(self.P, self.k, dtype=np.int64),
             "n_added": np.full(self.P, self.n_added, dtype=np.int64),
@@ -229,34 +371,34 @@ class PartitionedBloom:
         obj.P, obj.m = P, m
         obj.k = int(pdf["k"].iloc[0])
         obj.n_added = int(pdf["n_added"].iloc[0])
-        obj.bits = np.zeros((P, m // 8), dtype=np.uint8)
+        obj._table = None
         obj._bc = None
+        obj._last_flagged = None
+        bits = np.zeros((P, m // 8), dtype=np.uint8)
         for _, r in pdf.iterrows():
-            obj.bits[int(r["pid"])] = np.frombuffer(r["bitset"], dtype=np.uint8)
+            bits[int(r["pid"])] = np.frombuffer(r["bitset"], dtype=np.uint8)
+        obj._bits_local = bits
         return obj
 
-    def to_df(self, spark: SparkSession) -> "DataFrame":
-        return spark.createDataFrame(
-            [(p, self.bits[p].tobytes(), self.m, self.k, self.n_added)
-             for p in range(self.P)],
-            schema=BLOOM_SCHEMA)
-
-    @classmethod
-    def from_df(cls, df: DataFrame) -> "PartitionedBloom":
-        rows = df.collect()
-        pdf = pd.DataFrame({
-            "pid": [r["pid"] for r in rows],
-            "bitset": [bytes(r["bitset"]) for r in rows],
-            "m": [r["m"] for r in rows],
-            "k": [r["k"] for r in rows],
-            "n_added": [r["n_added"] for r in rows],
-        })
-        return cls.from_pandas(pdf)
-
     def fp_rate_estimate(self) -> float:
-        """Expected false-positive rate from current fill factor."""
-        fill = float(np.unpackbits(self.bits).mean())
-        return fill ** self.k
+        """Expected false-positive rate from current fill factor, computed
+        distributedly (per-row popcount fraction, averaged over all P
+        partitions — absent pids are zero-fill)."""
+        if self._table is None:
+            if self._bits_local is not None:  # from_pandas-restored
+                return float(np.unpackbits(self._bits_local).mean()) ** self.k
+            return 0.0
+
+        @F.pandas_udf(T.DoubleType())
+        def fill_frac(b: pd.Series) -> pd.Series:
+            return pd.Series([
+                float(np.unpackbits(np.frombuffer(x, dtype=np.uint8)).mean())
+                if x is not None else 0.0 for x in b])
+
+        row = (self._table
+               .agg(F.sum(fill_frac(F.col("bitset"))).alias("s")).first())
+        s = float(row["s"]) if row["s"] is not None else 0.0
+        return (s / self.P) ** self.k
 
 
 class CuckooFilter:

@@ -111,6 +111,12 @@ _KERNEL_OUT_SCHEMA = T.StructType([
     T.StructField("handlers_error", T.StringType()),
 ])
 
+HOST_DELAY_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("delay", T.DoubleType()),
+    T.StructField("last_update", T.DoubleType()),
+])
+
 ROBOTS_SCHEMA = T.StructType([
     T.StructField("robots_key", T.StringType()),
     T.StructField("robots_txt", T.StringType()),
@@ -129,6 +135,13 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("errors", T.LongType()),
     T.StructField("cycle_time", T.DoubleType()),
 ])
+
+
+def plan_str(df: DataFrame) -> str:
+    """`explain("formatted")` text of a DataFrame (for the PLANS.md audit
+    and the plan-shape tests)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
 
 
 def local_df(spark: SparkSession, rows: list[dict], schema: T.StructType) -> DataFrame:
@@ -171,6 +184,11 @@ class CrawlConfig:
     # driver-side LRU over the robots TABLE (the table is the source of
     # truth, carried in snapshots; the memo only bounds repeat lookups —
     # web-scale host counts never accumulate on the driver)
+    host_delay_memo_size: int = 10000
+    # same shape for decay-mode per-host state (RedisUrlList zset scores):
+    # the host→(delay, last_update) pairs live in a snapshot-carried TABLE;
+    # the driver holds only a bounded LRU memo + the dirty entries since
+    # the last commit (batch-bounded) — never the host universe
     user_agent: object = ("Mozilla/5.0 (compatible; supercrawler/1.0; "
                           "+https://github.com/brendonboshell/supercrawler)")
     # str, or a callable url -> str (Crawler.js:30-34,85-90 — the reference
@@ -194,11 +212,20 @@ class CrawlConfig:
     # tick after the earliest next_fetch_time — but only if it is within
     # this horizon (None = stop at exhaustion; retries/recrawls beyond the
     # horizon are treated as terminal, like stopping the reference crawler).
+    seq_partition_threshold: int = 65536
+    # cycles discovering more links than this assign seqs via the
+    # range-partition + per-partition-offset scheme (no single-task window);
+    # smaller cycles use a flat window (one task, but bounded rows — cheaper
+    # than an extra shuffle + counts job). Both paths produce IDENTICAL seqs
+    # (parity-pinned); the threshold exists for sitemap-dump cycles
+    # (DbUrlList.js:123-127 — B pages × 50k links ⇒ ~10^6 rows).
     use_bloom: bool = False              # Bloom-prefiltered dedup (scale path)
     bloom_partitions: int = 32
     bloom_capacity: int = 1 << 20
-    bloom_probe: str = "broadcast"       # "broadcast" | "cogroup" (no full-
-    # matrix broadcast: each task gets only its url_hash range's bit array)
+    bloom_probe: str = "cogroup"         # "cogroup" (scale default: no full-
+    # matrix broadcast — each task gets only its url_hash range's bit array,
+    # and the per-cycle add never re-collects the table) | "broadcast"
+    # (small-filter fast path: table collected once per add and broadcast)
     max_redirect_hops: int = 10          # robots fetch follows redirects
 
 
@@ -259,7 +286,11 @@ class SparkCrawler:
         self.cycle_id: int = 0
         self.cycle_time: float = self.config.virtual_start_ms
         self.crawl_order: list[tuple[int, int, str]] = []
-        self.host_delay: dict[str, tuple[float, float]] = {}  # host → (delay, last_update)
+        # decay-mode per-host state: bounded LRU memo over a snapshot-carried
+        # TABLE (same LSM shape as robots) — host → (delay, last_update)
+        self.host_delay: "OrderedDict[str, tuple[float, float]]" = OrderedDict()
+        self._host_delay_base: DataFrame | None = None
+        self._host_delay_dirty: dict[str, tuple[float, float]] = {}
         self._log_buffer: list[dict] = []
         self._metrics_buffer: list[dict] = []
         self._bloom = None
@@ -267,6 +298,10 @@ class SparkCrawler:
             from .bloom import PartitionedBloom
             self._bloom = PartitionedBloom(self.config.bloom_partitions,
                                            self.config.bloom_capacity)
+        # optional per-cycle physical-plan capture (PLANS.md audit / plan
+        # tests): set to a dict and run_cycle records the formatted plans of
+        # its pop / fetch-join / kernel / dedup / merge stages into it
+        self.plan_sink: dict | None = None
 
     # ------------------------------------------------------------------
     # frontier view (base ∪ delta, delta wins)
@@ -340,9 +375,12 @@ class SparkCrawler:
             rows.append(self._fresh_row(u, self.max_seq, self.cycle_time))
         if self.config.order_mode == "decay":
             from .priority import decay_scores
+            state = self._host_delay_lookup([r["host"] for r in rows])
             scores = decay_scores(
                 [(r["host"], self.cycle_time) for r in rows],
-                self.host_delay, self.config.delay_half_life_ms)
+                state, self.config.delay_half_life_ms)
+            for h, v in state.items():
+                self._host_delay_store(h, v)
             for r, s in zip(rows, scores):
                 r["next_fetch_time"] = s
         if not rows:
@@ -438,9 +476,13 @@ class SparkCrawler:
             view.select(*cols).unionByName(rows.select(*cols))
         self._base, self._delta = staged, None
         self.max_seq += total
-        self._commit_snapshot()  # writes parquet, rebases onto it
         if self._bloom is not None:
+            # BEFORE the snapshot commit: the bloom table is persisted inside
+            # the commit, and a resume() restores it verbatim — a filter
+            # missing the just-seeded URLs would mark them "definitively
+            # never seen" after resume and re-insert duplicate frontier rows
             self._bloom.add(self.spark, inc.select("url"))
+        self._commit_snapshot()  # writes parquet (incl. bloom), rebases onto it
         inc.unpersist()
         return total
 
@@ -474,8 +516,13 @@ class SparkCrawler:
         self.max_seq = meta["max_seq"]
         self.cycle_id = meta["cycle_id"]
         self.cycle_time = meta["cycle_time"]
-        self.host_delay = {h: tuple(v)
-                           for h, v in meta.get("host_delay", {}).items()}
+        # decay host-state resumes as a TABLE (looked up per cycle);
+        # legacy manifests carried it in meta — fold those into the dirty
+        # set so the next commit migrates them into the table
+        self._host_delay_base = self.store.load(self.spark, "host_delay")
+        self.host_delay = OrderedDict(
+            (h, tuple(v)) for h, v in meta.get("host_delay", {}).items())
+        self._host_delay_dirty = dict(self.host_delay)
         if self.config.use_bloom:
             # restore the seen-filter — a fresh (empty) filter would mark
             # already-crawled URLs "definitively new", bypass the exact
@@ -508,6 +555,24 @@ class SparkCrawler:
             robots_df = dirty_df.select(*cols).unionByName(kept.select(*cols))
         else:
             robots_df = self._robots_base
+        # decay host-state table: dirty entries override the previous table
+        # (identical LSM shape; only written in decay mode)
+        host_delay_df = None
+        if self.config.order_mode == "decay":
+            hd_dirty = local_df(self.spark, [
+                {"host": h, "delay": v[0], "last_update": v[1]}
+                for h, v in self._host_delay_dirty.items()
+            ], HOST_DELAY_SCHEMA)
+            if self._host_delay_base is None:
+                host_delay_df = hd_dirty
+            elif self._host_delay_dirty:
+                kept = self._host_delay_base.join(
+                    F.broadcast(hd_dirty.select("host")), "host", "left_anti")
+                cols = [f.name for f in HOST_DELAY_SCHEMA]
+                host_delay_df = hd_dirty.select(*cols).unionByName(
+                    kept.select(*cols))
+            else:
+                host_delay_df = self._host_delay_base
         self._flush_logs()
         # frontier sorted by next_fetch_time within partitions → parquet
         # min/max stats make the due-filter prune files at scale (O1)
@@ -516,13 +581,17 @@ class SparkCrawler:
             int(self.spark.conf.get("spark.sql.shuffle.partitions")) or 32,
             "host").sortWithinPartitions("next_fetch_time")
         tables = {"frontier": frontier_out, "robots": robots_df}
+        if host_delay_df is not None:
+            tables["host_delay"] = host_delay_df
         if self._bloom is not None:
             tables["bloom"] = self._bloom.to_df(self.spark)
+        # meta carries ONLY scalars — per-host decay state is a table now
+        # (an O(hosts) manifest entry would put the host universe back on
+        # the driver at web scale)
         self.store.commit(
             tables,
             meta={"cycle_id": self.cycle_id, "cycle_time": self.cycle_time,
-                  "max_seq": self.max_seq,
-                  "host_delay": {h: list(v) for h, v in self.host_delay.items()}},
+                  "max_seq": self.max_seq},
         )
         # compaction: the snapshot just written becomes the base layer and
         # the delta resets — the only O(|frontier|) write, amortized over
@@ -530,6 +599,15 @@ class SparkCrawler:
         self._compact()
         self._robots_base = self.store.load(self.spark, "robots")
         self._robots_dirty = {}
+        if host_delay_df is not None:
+            self._host_delay_base = self.store.load(self.spark, "host_delay")
+            self._host_delay_dirty = {}
+        if self._bloom is not None:
+            # re-root the bitset table on the parquet just written (frees
+            # the executor-side checkpoint blocks; bits are unchanged)
+            bloom_df = self.store.load(self.spark, "bloom")
+            if bloom_df is not None:
+                self._bloom.rebase(bloom_df)
 
     # ------------------------------------------------------------------
     # the micro-cycle
@@ -601,6 +679,8 @@ class SparkCrawler:
             F.col("body").alias("f_body"),
         )
         found = pages.join(F.broadcast(batch_df), "url", "inner").persist()
+        if self.plan_sink is not None:
+            self.plan_sink["fetch_join"] = plan_str(found)
 
         # rows that fire handlers: robots-allowed, present, 2xx non-redirect
         fetch_ok = (F.col("robots_allowed") & (F.col("f_status") < 400))
@@ -612,6 +692,8 @@ class SparkCrawler:
                              "f_location", "f_body"))
         kernel_out = kernel_in.mapInPandas(kernel, schema=_KERNEL_OUT_SCHEMA)
         kernel_out = kernel_out.persist()
+        if self.plan_sink is not None:
+            self.plan_sink["kernel"] = plan_str(kernel_out)
 
         handler_errors = (kernel_out
                           .filter(F.col("handlers_error").isNotNull())
@@ -718,13 +800,24 @@ class SparkCrawler:
                                                      verify="broadcast")
             else:
                 links_unique = self._minus_seen(links_unique, seen)
+            if self.plan_sink is not None:
+                self.plan_sink["dedup"] = plan_str(links_unique)
 
-            # seq assignment: window ONLY over the cycle's new links (bounded)
-            w_seq = Window.partitionBy(F.lit(0)).orderBy("batch_idx", "source_order", "link_idx")
+            # seq assignment over the cycle's new links: flat window while
+            # the cycle is small; above the threshold (sitemap-dump cycles)
+            # the range-partitioned offset scheme — identical seqs, no
+            # single-task stage
             t_insert = (F.lit(self.cycle_time)
                         + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
-            base = (links_unique
-                    .withColumn("seq", F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
+            if n_links > cfg.seq_partition_threshold:
+                seqd = self._assign_seq_distributed(links_unique)
+            else:
+                w_seq = Window.partitionBy(F.lit(0)).orderBy(
+                    "batch_idx", "source_order", "link_idx")
+                seqd = links_unique.withColumn(
+                    "seq",
+                    F.lit(self.max_seq) + F.row_number().over(w_seq).cast("long"))
+            base = (seqd
                     .withColumn("url_hash", SF.url_hash(F.col("url")))
                     # JVM-side host extraction (handler links are already
                     # canonicalized to lowercase hosts)
@@ -769,8 +862,11 @@ class SparkCrawler:
         t_row = (F.lit(self.cycle_time)
                  + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
         batch_state = local_df(self.spark, batch, FRONTIER_SCHEMA)
+        # both sides are batch-sized; broadcast the update side so the merge
+        # never sorts/exchanges (local frames carry no size stats, so the
+        # planner would otherwise fall back to a sort-merge join)
         merged = batch_state.join(
-            upd, batch_state.url == upd.u_url, "left")
+            F.broadcast(upd), batch_state.url == upd.u_url, "left")
         has_upd = F.col("u_url").isNotNull()
         is_err = has_upd & F.col("u_error_code").isNotNull()
         if cfg.order_mode == "fifo":
@@ -807,6 +903,8 @@ class SparkCrawler:
         )
 
         changes = merged if new_rows is None else merged.unionByName(new_rows)
+        if self.plan_sink is not None:
+            self.plan_sink["merge"] = plan_str(changes)
         self._apply_changes(changes)
         ph.mark('checkpoint')
         # the delta checkpoint materialized new_rows — read back the new max
@@ -827,6 +925,9 @@ class SparkCrawler:
         if getattr(self, "_scored_tmp", None) is not None:
             self._scored_tmp.unpersist()
             self._scored_tmp = None
+        if getattr(self, "_seq_tmp", None) is not None:
+            self._seq_tmp.unpersist()
+            self._seq_tmp = None
 
         # --- lineage / metrics (S7, A5) -------------------------------------
         self._log_cycle(result_rows, stats)
@@ -850,7 +951,39 @@ class SparkCrawler:
             elif not stats.fast_forwarded:
                 break
         self._commit_snapshot()
+        if self._bloom is not None:
+            self._bloom.release()  # drop the final cycle's flagged persist
         return out
+
+    def _assign_seq_distributed(self, links: DataFrame) -> DataFrame:
+        """Dense seq assignment for a huge link cycle WITHOUT a
+        single-partition window: range-partition on the deterministic order
+        key (batch_idx, source_order, link_idx — unique per row), then
+        per-partition row_number + cumulative offsets from a P-row counts
+        collect. Same scheme as seed_df; produces seqs identical to the
+        flat window (global rank in key order), pinned by
+        tests/test_crawl_parity.py."""
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions") or 32)
+        keys = [F.col("batch_idx"), F.col("source_order"), F.col("link_idx")]
+        lu = (links.repartitionByRange(n_part, *keys)
+              .withColumn("_spid", F.spark_partition_id())
+              .persist())
+        counts = {r["_spid"]: r["n"] for r in
+                  lu.groupBy("_spid").agg(F.count(F.lit(1)).alias("n")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = local_df(self.spark,
+                          [{"_spid": p, "_off": o} for p, o in offsets.items()],
+                          T.StructType([T.StructField("_spid", T.IntegerType()),
+                                        T.StructField("_off", T.LongType())]))
+        w = Window.partitionBy("_spid").orderBy(*keys)
+        self._seq_tmp = lu  # unpersisted at end of cycle
+        return (lu.join(F.broadcast(off_df), "_spid")
+                .withColumn("seq", F.lit(self.max_seq) + F.col("_off")
+                            + F.row_number().over(w).cast("long"))
+                .drop("_spid", "_off"))
 
     def _fast_forward(self) -> bool:
         """Advance the virtual clock to the first tick after the earliest
@@ -878,8 +1011,11 @@ class SparkCrawler:
         from .priority import decay_scores
 
         hl = self.config.delay_half_life_ms
+        # carried state for ONLY this cycle's hosts (memo/dirty/table
+        # lookup — never the whole host universe)
+        cycle_hosts = [r["host"] for r in base.select("host").distinct().collect()]
         state_bc = self.spark.sparkContext.broadcast(
-            {h: tuple(v) for h, v in self.host_delay.items()})
+            self._host_delay_lookup(cycle_hosts))
         out_schema = T.StructType(
             list(base.schema.fields) + [
                 T.StructField("next_fetch_time", T.DoubleType()),
@@ -908,7 +1044,7 @@ class SparkCrawler:
         scored = scored.persist()
         for r in scored.filter(F.col("_is_last")) \
                        .select("host", "_d_delay", "_d_last").collect():
-            self.host_delay[r["host"]] = (r["_d_delay"], r["_d_last"])
+            self._host_delay_store(r["host"], (r["_d_delay"], r["_d_last"]))
         self._scored_tmp = scored
         return scored.drop("_is_last", "_d_delay", "_d_last")
 
@@ -945,10 +1081,56 @@ class SparkCrawler:
                       .filter(F.col("_hrn") <= cfg.per_host_cap).drop("_hrn"))
         # full rows: the batch IS the merge's update side (batch-sized), so
         # the upsert never rejoins or rewrites the frontier at large
-        rows = (due.orderBy(*order).limit(cfg.budget)
-                   .select(*[f.name for f in FRONTIER_SCHEMA])
-                   .collect())
+        frame = (due.orderBy(*order).limit(cfg.budget)
+                    .select(*[f.name for f in FRONTIER_SCHEMA]))
+        if self.plan_sink is not None:
+            self.plan_sink["pop"] = plan_str(frame)
+        rows = frame.collect()
         return [r.asDict() for r in rows]
+
+    # ------------------------------------------------------------------
+    # decay host-state layer (A1/W3) — host-keyed table + bounded LRU memo
+    # ------------------------------------------------------------------
+    def _host_delay_store(self, host: str,
+                          dl: tuple[float, float]) -> None:
+        memo = self.host_delay
+        memo[host] = tuple(dl)
+        memo.move_to_end(host)
+        self._host_delay_dirty[host] = tuple(dl)  # table row, flushed at commit
+        while len(memo) > self.config.host_delay_memo_size:
+            memo.popitem(last=False)
+
+    def _host_delay_lookup(self, hosts: list[str]) -> dict[str, tuple[float, float]]:
+        """(delay, last_update) for the given hosts: LRU memo → dirty set →
+        one broadcast lookup against the host_delay TABLE for the misses
+        (result bounded by the cycle's host count; the table itself never
+        collects fully — RedisUrlList keeps this in a server-side zset,
+        lib/RedisUrlList.js:25-53, we keep it in a snapshot table)."""
+        out: dict[str, tuple[float, float]] = {}
+        missing: list[str] = []
+        for h in dict.fromkeys(hosts):
+            v = self.host_delay.get(h)
+            if v is not None:
+                self.host_delay.move_to_end(h)
+            else:
+                v = self._host_delay_dirty.get(h)
+            if v is not None:
+                out[h] = tuple(v)
+            else:
+                missing.append(h)
+        if missing and self._host_delay_base is not None:
+            kdf = self.spark.createDataFrame(
+                [(h,) for h in missing],
+                schema=T.StructType([T.StructField("host", T.StringType())]))
+            rows = self._host_delay_base.join(F.broadcast(kdf), "host").collect()
+            for r in rows:
+                v = (float(r["delay"]), float(r["last_update"]))
+                out[r["host"]] = v
+                self.host_delay[r["host"]] = v
+                self.host_delay.move_to_end(r["host"])
+            while len(self.host_delay) > self.config.host_delay_memo_size:
+                self.host_delay.popitem(last=False)
+        return out
 
     # ------------------------------------------------------------------
     # robots layer (S5/F2/F3/T6) — host-keyed table + bounded LRU memo

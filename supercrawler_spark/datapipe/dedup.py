@@ -216,9 +216,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
               .select(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"),
                       F.col("a.simhash").alias("sh_a"),
-                      F.col("b.simhash").alias("sh_b"))
-              .distinct())
+                      F.col("b.simhash").alias("sh_b")))
+    # verify BEFORE dedup: bit_count is a codegen'd no-shuffle filter, so
+    # running it on the raw (duplicate-bearing) collision stream and
+    # deduping only the surviving true near-pairs keeps the distinct's
+    # exchange at O(result) instead of O(collisions) — at h=8 the 9 narrow
+    # chunks collide often and this is the dominant cost
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+                .select("id_a", "id_b", "hamming")
+                .distinct())

@@ -164,6 +164,125 @@ def ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# deterministic sign-projection LSH (oracle-replayable, all-JVM)
+# ---------------------------------------------------------------------------
+
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def det_plane_weights(dim: int, n_planes: int, table: int) -> list[list[int]]:
+    """±1 hyperplane weights from a pure-integer LCG on (table, plane, j) —
+    a random-sign projection is a valid cosine-LSH family, and because the
+    weights are closed-form integers BOTH engines (Spark and an ANSI-SQL
+    oracle) can regenerate them exactly; no numpy RNG anywhere."""
+    out = []
+    for p in range(n_planes):
+        base = (table * n_planes + p) * dim
+        out.append([
+            1 if ((_LCG_A * (base + j) + _LCG_C) % _LCG_M) % 2 == 0 else -1
+            for j in range(dim)])
+    return out
+
+
+def det_signature_col(vec_col, dim: int, n_planes: int, table: int):
+    """Packed sign-projection signature as a pure-JVM column expression:
+    the vector quantizes to integers (round(x*1000) — identical
+    ties-away-from-zero rounding in Spark and DuckDB), each plane's dot
+    product is exact integer arithmetic (order-independent, so engines
+    can't disagree by float summation order), bit p = (dot > 0)."""
+    qv = F.transform(vec_col, lambda x: F.round(x * 1000).cast("long"))
+    sig = F.lit(0).cast("long")
+    for p, w in enumerate(det_plane_weights(dim, n_planes, table)):
+        warr = F.array(*[F.lit(wj).cast("long") for wj in w])
+        dot = F.aggregate(F.zip_with(qv, warr, lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, v: acc + v)
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def det_lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                     round_to: int = 4) -> DataFrame:
+    """lsh_ann_topk with the deterministic sign-projection family: same
+    bucket-collision plan (candidates = signature matches in any table,
+    exact cosine re-rank on candidates only — never all pairs), but every
+    stage is a JVM expression an ANSI-SQL oracle replays bit-for-bit.
+    Recall vs brute force pinned in tests/test_datapipe.py."""
+    def with_sigs(frame, idn, vn):
+        out = frame.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vn))
+        for t in range(n_tables):
+            out = out.withColumn(
+                f"_s{t}", det_signature_col(F.col(vn), dim, n_planes, t))
+        return out.select(
+            idn, vn,
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("s"))
+                for t in range(n_tables)])).alias("bucket"))
+
+    q = with_sigs(queries, "q_id", "q_vec")
+    c = with_sigs(df, "n_id", "n_vec")
+    cand = (q.join(c, "bucket")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "q_vec", "n_id", "n_vec")
+             .distinct())
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))
+
+
+def det_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                       k: int = 5, query_pred: str = "vec_id < 20",
+                       table: str = "embeddings") -> str:
+    """The ANSI-SQL twin of det_lsh_ann_topk: regenerates the same LCG
+    weights as literal arrays, quantizes identically, and restricts the
+    join to bucket collisions before the cosine re-rank."""
+    sig_exprs = []
+    for t in range(n_tables):
+        terms = []
+        for p, w in enumerate(det_plane_weights(dim, n_planes, t)):
+            warr = "[" + ",".join(str(x) for x in w) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(q, {warr}::BIGINT[]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)")
+            # integer dots stay far below 2^53 → exact in DuckDB's DOUBLE
+        sig_exprs.append("(" + " + ".join(terms) + f") AS s{t}")
+    collide = " OR ".join(f"a.s{t} = b.s{t}" for t in range(n_tables))
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1000)::BIGINT) AS q
+          FROM {table}
+        ),
+        sig AS (SELECT vec_id, v, {', '.join(sig_exprs)} FROM emb),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id,
+                 a.v AS q_vec, b.v AS n_vec
+          FROM sig a JOIN sig b
+            ON a.vec_id != b.vec_id AND ({collide})
+          WHERE a.{query_pred}
+        ),
+        scored AS (
+          SELECT q_id, n_id,
+                 round(list_dot_product(q_vec, n_vec) /
+                       (sqrt(list_dot_product(q_vec, q_vec)) *
+                        sqrt(list_dot_product(n_vec, n_vec))), 4) AS cos
+          FROM cand
+        )
+        SELECT q_id, n_id, cos, rank FROM (
+          SELECT *, row_number() OVER
+                 (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH ANN
 # ---------------------------------------------------------------------------
 

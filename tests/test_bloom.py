@@ -164,3 +164,74 @@ def test_cuckoo_insert_lookup_delete():
     assert all(cf.contains(h) for h in hs[1000:])
     gone = sum(cf.contains(h) for h in hs[:1000])
     assert gone < 50  # only residual fingerprint collisions
+
+
+def test_add_never_ships_bitsets_to_driver(spark, url_sets):
+    """The distributed build/merge contract: add() may collect scalars (the
+    row count) but NEVER a frame containing a binary bitset column — at
+    10^10 keys the bit matrix is ~12 GB and must stay executor-side."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import types as T
+
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+
+    collected_schemas = []
+    orig_collect = DataFrame.collect
+    orig_topandas = DataFrame.toPandas
+
+    def spy_collect(self):
+        collected_schemas.append(self.schema)
+        return orig_collect(self)
+
+    def spy_topandas(self):
+        collected_schemas.append(self.schema)
+        return orig_topandas(self)
+
+    DataFrame.collect, DataFrame.toPandas = spy_collect, spy_topandas
+    try:
+        n = bloom.add(spark, seen)
+        bloom.add(spark, cand)  # second add exercises the OR-merge join
+    finally:
+        DataFrame.collect, DataFrame.toPandas = orig_collect, orig_topandas
+    assert n == 20000
+    binary_fields = [
+        (schema, f.name) for schema in collected_schemas
+        for f in schema.fields if isinstance(f.dataType, T.BinaryType)]
+    assert not binary_fields, f"bitset bytes crossed the driver: {binary_fields}"
+    # and the merged filter still answers correctly (cand ⊂ filter now)
+    flagged = bloom.maybe_seen_flag_cogrouped(spark, cand, "url").toPandas()
+    assert flagged["_maybe_seen"].all()
+
+
+def test_to_df_from_df_roundtrip_is_distributed(spark, url_sets):
+    """Persistence round-trips through DataFrames without collecting
+    bitsets, and the restored filter probes identically."""
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    restored = PartitionedBloom.from_df(bloom.to_df(spark))
+    assert (restored.P, restored.m, restored.k, restored.n_added) == \
+        (bloom.P, bloom.m, bloom.k, bloom.n_added)
+    a = bloom.maybe_seen_flag_cogrouped(spark, cand, "url").toPandas() \
+             .set_index("url")["_maybe_seen"].sort_index()
+    b = restored.maybe_seen_flag_cogrouped(spark, cand, "url").toPandas() \
+                .set_index("url")["_maybe_seen"].sort_index()
+    assert a.equals(b)
+    assert np.array_equal(bloom.bits, restored.bits)
+
+
+def test_prefilter_releases_previous_persist(spark, url_sets):
+    """Per-cycle storage stays bounded: each prefilter call unpersists the
+    previous call's flagged intermediate."""
+    seen, cand = url_sets
+    bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+    bloom.add(spark, seen)
+    bloom.prefilter(spark, cand, "url", seen).count()
+    first = bloom._last_flagged
+    assert first is not None and first.is_cached
+    bloom.prefilter(spark, cand, "url", seen).count()
+    assert not first.is_cached          # released by the next call
+    assert bloom._last_flagged.is_cached
+    bloom.release()
+    assert bloom._last_flagged is None

@@ -217,3 +217,70 @@ def test_image_payload_invariants(spark, small_web):
         else:
             assert imaging.psnr(got_px, ref_px) >= 40.0
         assert fix["caption"] == f"synthetic caption {int(fix['image_id'][4:])} for {fix['image_id']}"
+
+
+def test_distributed_seq_assignment_parity(spark, small_web):
+    """Forcing the range-partitioned offset seq scheme on EVERY cycle
+    (seq_partition_threshold=0) yields bit-identical crawl order and
+    frontier seqs vs the flat-window path — the sitemap-dump scale path
+    has the same semantics."""
+    seeds, web, web_df = small_web
+    results = []
+    for threshold in (0, 1 << 30):
+        wd = tempfile.mkdtemp()
+        cr = SparkCrawler(spark, web_df, wd,
+                          CrawlConfig(budget=6, order_mode="random",
+                                      seq_partition_threshold=threshold))
+        cr.seed(list(seeds["url"]))
+        cr.crawl(max_cycles=60)
+        pdf = cr.frontier_pdf()
+        results.append((cr.crawl_order,
+                        list(pdf["url"]), list(pdf["seq"])))
+    assert results[0][0] == results[1][0]  # identical crawl order
+    assert results[0][1] == results[1][1]  # identical url-by-seq order
+    assert results[0][2] == results[1][2]  # identical dense seqs
+
+
+def test_decay_resume_and_table_carried_host_state(spark, small_web):
+    """Decay (RedisUrlList) mode: per-host delay state survives kill/resume
+    via the snapshot host_delay TABLE, the manifest JSON carries no
+    O(hosts) entry, and the resumed crawl equals the uninterrupted one."""
+    import json
+    import os
+
+    seeds, web_pdf, web_df = small_web
+
+    def cfg():
+        return CrawlConfig(budget=4, order_mode="decay",
+                           virtual_start_ms=1e12, checkpoint_every=1)
+
+    wd_a = tempfile.mkdtemp()
+    c_a = SparkCrawler(spark, web_df, wd_a, cfg())
+    c_a.seed(list(seeds["url"]))
+    c_a.crawl(max_cycles=60)
+
+    wd_b = tempfile.mkdtemp()
+    c_b1 = SparkCrawler(spark, web_df, wd_b, cfg())
+    c_b1.seed(list(seeds["url"]))
+    c_b1.crawl(max_cycles=2)
+    assert c_b1._host_delay_base is not None  # table committed
+    # manifest meta holds only scalars — no host map
+    with open(os.path.join(wd_b, "snapshots", "manifest.json")) as f:
+        manifest = json.load(f)
+    assert "host_delay" not in manifest["meta"]
+    assert "host_delay" in manifest["tables"]
+
+    c_b2 = SparkCrawler(spark, web_df, wd_b, cfg())
+    assert c_b2.resume()
+    # state restored lazily from the table, not the manifest
+    looked = c_b2._host_delay_lookup(
+        [h for h in {u.split("/")[2] for _, _, u in c_b1.crawl_order}])
+    assert looked  # decayed hosts present in the table
+    c_b2.crawl(max_cycles=100)
+
+    assert c_b2.crawl_order == c_a.crawl_order[len(c_b1.crawl_order):]
+    assert c_b2.seen_urls() == c_a.seen_urls()
+    cols = ["url", "next_fetch_time", "num_errors", "seq"]
+    a = c_a.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
+    b = c_b2.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)

@@ -139,6 +139,31 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall {recall}"
 
 
+def test_det_lsh_ann_recall_and_determinism(spark, sf_dir):
+    """The oracle-replayable sign-projection family (integer LCG planes,
+    no numpy RNG) keeps useful recall AND is bit-stable across runs."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("embedding")))
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    a = SIM.det_lsh_ann_topk(emb, queries, k=5, dim=64,
+                             n_planes=4, n_tables=8).collect()
+    b = SIM.det_lsh_ann_topk(emb, queries, k=5, dim=64,
+                             n_planes=4, n_tables=8).collect()
+    key = lambda rows: sorted((r["q_id"], r["n_id"], r["cos"], r["rank"])
+                              for r in rows)
+    assert key(a) == key(b)  # bit-stable
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in a}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"det-LSH recall {recall}"
+    # plan stays pure JVM: no Python UDF (BatchEvalPython/ArrowEvalPython)
+    plan = SIM.det_lsh_ann_topk(emb, queries, k=5, dim=64, n_planes=4,
+                                n_tables=8)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 @pytest.fixture(scope="module")
 def planted_vecs(spark):
     """200 random unit-ish vectors + 20 perturbed near-copies (cos ≈ 0.99)."""

@@ -123,3 +123,35 @@ def test_seed_df_rejects_decay_mode(spark):
                       CrawlConfig(order_mode="decay"))
     with pytest.raises(ValueError):
         cr.seed_df(spark.createDataFrame([("http://a/",)], ["url"]))
+
+
+def test_seed_df_then_resume_keeps_bloom_complete(spark):
+    """The bloom table persisted by seed_df's snapshot commit must already
+    contain every seeded URL: a resume() restores the filter verbatim, and
+    a filter missing the seeds would mark them 'definitively never seen',
+    bypass the exact verify, and re-insert duplicate frontier rows."""
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    web_df = spark.createDataFrame(web)
+
+    def cfg():
+        return CrawlConfig(budget=4, order_mode="random", use_bloom=True,
+                           bloom_partitions=4, bloom_capacity=1 << 12,
+                           checkpoint_every=1)
+
+    wd = tempfile.mkdtemp()
+    c1 = SparkCrawler(spark, web_df, wd, cfg())
+    n = c1.seed_df(spark.createDataFrame([(u,) for u in seeds["url"]], ["url"]))
+    assert n > 0
+
+    # resume in a fresh engine straight off the seed snapshot
+    c2 = SparkCrawler(spark, web_df, wd, cfg())
+    assert c2.resume()
+    seeded = spark.createDataFrame([(u,) for u in set(seeds["url"])], ["url"])
+    flagged = c2._bloom.maybe_seen_flag_cogrouped(spark, seeded, "url").toPandas()
+    assert flagged["_maybe_seen"].all()  # restored filter knows the seeds
+
+    c2.crawl(max_cycles=100)
+    # unique-url invariant holds through seed_df → resume → crawl
+    n_rows = c2.frontier.count()
+    n_urls = c2.frontier.select("url").distinct().count()
+    assert n_rows == n_urls
