@@ -405,8 +405,8 @@ class CuckooFilter:
     """Single-node cuckoo filter (deletable seen-set variant): 4-slot
     buckets, 16-bit fingerprints, 2 candidate buckets via partial-key
     cuckoo hashing. Deletions let recrawl-expired URLs leave the seen set
-    (the Bloom filter cannot delete). Numpy storage; per-partition instances
-    compose the same way as PartitionedBloom."""
+    (the Bloom filter cannot delete). Numpy storage; serves as the
+    PER-PARTITION kernel of :class:`PartitionedCuckoo`."""
 
     def __init__(self, capacity: int = 1 << 16):
         self.n_buckets = max(8, 1 << (capacity.bit_length()))
@@ -460,3 +460,170 @@ class CuckooFilter:
                 self.slots[i][idx[0]] = 0
                 return True
         return False
+
+
+CUCKOO_TABLE_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType()),
+    T.StructField("slots", T.BinaryType()),
+])
+
+CUCKOO_DF_SCHEMA = T.StructType([
+    T.StructField("pid", T.IntegerType()),
+    T.StructField("slots", T.BinaryType()),
+    T.StructField("n_buckets", T.LongType()),
+    T.StructField("n_added", T.LongType()),
+    T.StructField("p", T.IntegerType()),
+])
+
+
+class PartitionedCuckoo:
+    """Distributed cuckoo seen-filter — the DELETABLE variant of
+    PartitionedBloom (north_star: "with a cuckoo-filter variant for
+    deletable entries"): recrawl-expired URLs can LEAVE the seen set,
+    which a Bloom filter cannot express.
+
+    Same table-authoritative shape as PartitionedBloom: the filter is a
+    ``(pid, slots binary)`` DataFrame (one uint16 slot array per url_hash
+    partition, localCheckpointed). add/delete cogroup the batch's hashed
+    keys with the owning partition's slot array and run the single-node
+    CuckooFilter kernel per group — the slot matrix never materializes on
+    the driver (only scalar counts collect). Probe is the same cogroup
+    gather, fully vectorized. Membership: no false negatives; false
+    positives only from 16-bit fingerprint collisions (~2^-16 per bucket
+    pair), as for any cuckoo filter."""
+
+    def __init__(self, partitions: int = 32,
+                 capacity_per_partition: int = 1 << 16):
+        self.P = partitions
+        self.capacity_per_partition = capacity_per_partition
+        self.n_buckets = max(8, 1 << capacity_per_partition.bit_length())
+        self.n_added = 0
+        self._table: DataFrame | None = None
+
+    # -- hashing (JVM-side; unsigned 64-bit on the numpy side) -------------
+    def _with_hash(self, df: DataFrame, col: str) -> DataFrame:
+        return (df
+                .withColumn("_h", F.xxhash64(F.col(col)))
+                .withColumn("_pid", F.pmod(F.hash(F.col(col)), F.lit(self.P))))
+
+    def _table_or_empty(self, spark: SparkSession) -> DataFrame:
+        if self._table is not None:
+            return self._table
+        return spark.createDataFrame([], schema=CUCKOO_TABLE_SCHEMA)
+
+    def _mutate(self, spark: SparkSession, df: DataFrame, col: str,
+                op: str) -> int:
+        """Shared add/delete: cogroup (batch keys, slot array) per pid and
+        run the single-node kernel; returns rows added/deleted (scalar
+        collect only — slot bytes stay executor-side)."""
+        nb = self.n_buckets
+
+        out_schema = T.StructType([
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("slots", T.BinaryType()),
+            T.StructField("n_ok", T.LongType()),
+        ])
+
+        def kernel(keys: pd.DataFrame, slots_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(keys) and not len(slots_pdf):
+                return pd.DataFrame({"pid": [], "slots": [], "n_ok": []})
+            pid = int(keys["_pid"].iloc[0]) if len(keys) else \
+                int(slots_pdf["pid"].iloc[0])
+            cf = CuckooFilter.__new__(CuckooFilter)
+            cf.n_buckets = nb
+            cf.max_kicks = 500
+            if len(slots_pdf):
+                cf.slots = np.frombuffer(
+                    slots_pdf["slots"].iloc[0],
+                    dtype=np.uint16).reshape(nb, 4).copy()
+            else:
+                cf.slots = np.zeros((nb, 4), dtype=np.uint16)
+            n_ok = 0
+            hs = keys["_h"].to_numpy().astype(np.uint64)
+            for h in hs:
+                if op == "add":
+                    n_ok += bool(cf.add(int(h)))
+                else:
+                    n_ok += bool(cf.delete(int(h)))
+            return pd.DataFrame({"pid": [pid], "slots": [cf.slots.tobytes()],
+                                 "n_ok": [n_ok]})
+
+        hashed = self._with_hash(df, col).select("_h", "_pid")
+        merged = (hashed.groupBy("_pid")
+                  .cogroup(self._table_or_empty(spark).groupBy("pid"))
+                  .applyInPandas(kernel, schema=out_schema)
+                  .persist())
+        total = merged.agg(F.sum("n_ok").alias("s")).first()["s"]
+        total = int(total) if total is not None else 0
+        new_table = merged.select("pid", "slots").localCheckpoint(eager=True)
+        merged.unpersist()
+        self._table = new_table
+        return total
+
+    def add(self, spark: SparkSession, df: DataFrame, col: str = "url") -> int:
+        n = self._mutate(spark, df, col, "add")
+        self.n_added += n
+        return n
+
+    def delete(self, spark: SparkSession, df: DataFrame, col: str = "url") -> int:
+        n = self._mutate(spark, df, col, "delete")
+        self.n_added -= n
+        return n
+
+    def contains_flag(self, spark: SparkSession, df: DataFrame,
+                      col: str = "url", flag: str = "_maybe_seen") -> DataFrame:
+        """Adds a boolean column: False ⇒ definitively never seen (or
+        deleted). Cogroup probe, fully vectorized numpy gather — no driver
+        or broadcast copy of the slot matrix."""
+        nb = self.n_buckets
+        orig_cols = [f.name for f in df.schema.fields]
+        out_schema = T.StructType(list(df.schema.fields) +
+                                  [T.StructField(flag, T.BooleanType())])
+
+        def probe(cand: pd.DataFrame, slots_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = cand[orig_cols].copy()
+            if not len(cand):
+                out[flag] = pd.Series([], dtype=bool)
+                return out
+            if not len(slots_pdf):
+                out[flag] = False
+                return out
+            slots = np.frombuffer(slots_pdf["slots"].iloc[0],
+                                  dtype=np.uint16).reshape(nb, 4)
+            h = cand["_h"].to_numpy().astype(np.uint64)
+            fp = ((h >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+            fp = np.where(fp == 0, np.uint16(1), fp)
+            i1 = (h % np.uint64(nb)).astype(np.int64)
+            i2 = ((i1.astype(np.uint64) ^
+                   (fp.astype(np.uint64) * np.uint64(0x5BD1E995)))
+                  % np.uint64(nb)).astype(np.int64)
+            hit = ((slots[i1] == fp[:, None]).any(axis=1)
+                   | (slots[i2] == fp[:, None]).any(axis=1))
+            out[flag] = hit
+            return out
+
+        hashed = self._with_hash(df, col)
+        return (hashed.groupBy("_pid")
+                .cogroup(self._table_or_empty(spark).groupBy("pid"))
+                .applyInPandas(probe, schema=out_schema))
+
+    # -- persistence (table-direct, like PartitionedBloom) ------------------
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        t = self._table if self._table is not None else \
+            spark.createDataFrame([], schema=CUCKOO_TABLE_SCHEMA)
+        return t.select(
+            "pid", "slots",
+            F.lit(self.n_buckets).cast("long").alias("n_buckets"),
+            F.lit(self.n_added).cast("long").alias("n_added"),
+            F.lit(self.P).cast("int").alias("p"))
+
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "PartitionedCuckoo":
+        meta = df.select("n_buckets", "n_added", "p").first()
+        obj = cls.__new__(cls)
+        obj.n_buckets = int(meta["n_buckets"])
+        obj.capacity_per_partition = obj.n_buckets
+        obj.n_added = int(meta["n_added"])
+        obj.P = int(meta["p"])
+        obj._table = df.select("pid", "slots").localCheckpoint(eager=True)
+        return obj

@@ -235,3 +235,82 @@ def test_prefilter_releases_previous_persist(spark, url_sets):
     assert bloom._last_flagged.is_cached
     bloom.release()
     assert bloom._last_flagged is None
+
+
+def test_partitioned_cuckoo_add_delete_contains(spark, url_sets):
+    """Distributed deletable seen-set: add → all present; delete half →
+    they leave (minus 16-bit fingerprint collisions), the rest stay; no
+    false negatives at any point."""
+    from supercrawler_spark.bloom import PartitionedCuckoo
+
+    seen, cand = url_sets  # 20k seen; cand = 20k overlap + 10k new
+    cf = PartitionedCuckoo(partitions=8, capacity_per_partition=1 << 13)
+    n = cf.add(spark, seen)
+    assert n == 20000  # no overflow at this fill factor
+    assert cf.n_added == 20000
+
+    flagged = cf.contains_flag(spark, cand, "url").toPandas()
+    idx = flagged["url"].str.extract(r"page(\d+)$")[0].astype(int)
+    assert flagged.loc[idx < 20000, "_maybe_seen"].all()  # no false negatives
+    fpr = flagged.loc[idx >= 20000, "_maybe_seen"].mean()
+    assert fpr < 0.02, f"cuckoo FPR {fpr}"
+
+    # delete the first 10k urls
+    to_del = seen.filter(
+        F.regexp_extract("url", r"page(\d+)$", 1).cast("int") < 10000)
+    n_del = cf.delete(spark, to_del, "url")
+    assert n_del == 10000
+    after = cf.contains_flag(spark, cand, "url").toPandas()
+    idx = after["url"].str.extract(r"page(\d+)$")[0].astype(int)
+    kept = after.loc[(idx >= 10000) & (idx < 20000), "_maybe_seen"]
+    assert kept.all()  # survivors still present — deletes are precise
+    gone = after.loc[idx < 10000, "_maybe_seen"].mean()
+    assert gone < 0.02, f"deleted urls still flagged at rate {gone}"
+
+
+def test_partitioned_cuckoo_persistence_roundtrip(spark, url_sets):
+    from supercrawler_spark.bloom import PartitionedCuckoo
+
+    seen, cand = url_sets
+    cf = PartitionedCuckoo(partitions=8, capacity_per_partition=1 << 13)
+    cf.add(spark, seen)
+    restored = PartitionedCuckoo.from_df(cf.to_df(spark))
+    assert (restored.P, restored.n_buckets, restored.n_added) == \
+        (cf.P, cf.n_buckets, cf.n_added)
+    a = cf.contains_flag(spark, cand, "url").toPandas() \
+          .set_index("url")["_maybe_seen"].sort_index()
+    b = restored.contains_flag(spark, cand, "url").toPandas() \
+                .set_index("url")["_maybe_seen"].sort_index()
+    assert a.equals(b)
+
+
+def test_partitioned_cuckoo_mutate_never_ships_slots_to_driver(spark, url_sets):
+    """add/delete collect only scalar counts — the uint16 slot matrix stays
+    executor-side (same contract as the Bloom build)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import types as T
+
+    from supercrawler_spark.bloom import PartitionedCuckoo
+
+    seen, _ = url_sets
+    cf = PartitionedCuckoo(partitions=8, capacity_per_partition=1 << 13)
+    collected = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def spy_c(self):
+        collected.append(self.schema)
+        return orig_collect(self)
+
+    def spy_p(self):
+        collected.append(self.schema)
+        return orig_topandas(self)
+
+    DataFrame.collect, DataFrame.toPandas = spy_c, spy_p
+    try:
+        cf.add(spark, seen)
+        cf.delete(spark, seen.limit(100))
+    finally:
+        DataFrame.collect, DataFrame.toPandas = orig_collect, orig_topandas
+    binary_fields = [(s, f.name) for s in collected
+                     for f in s.fields if isinstance(f.dataType, T.BinaryType)]
+    assert not binary_fields, f"slot bytes crossed the driver: {binary_fields}"
