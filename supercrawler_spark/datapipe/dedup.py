@@ -51,15 +51,25 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
-def word_shingles(col, n: int = 3) -> "F.Column":
-    """n-gram (word shingle) array of lowercased text — built with JVM
-    higher-order functions (transform over an index sequence), no Python."""
-    toks = tokens(col)
+def shingles_of_tokens(toks, n: int = 3) -> "F.Column":
+    """n-gram (word shingle) array from an ALREADY-MATERIALIZED token-array
+    column — JVM higher-order functions, no Python. Callers must project
+    the token array into a real column first: passing `tokens(text)` inline
+    re-evaluates the full text split inside every element_at of every
+    lambda iteration (O(shingles × n) splits per doc — measured 8 s just to
+    explode 256k shingles at sf0.1; the two-step form is ~10x cheaper)."""
     k = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
     return F.when(k <= 0, F.array()).otherwise(
         F.transform(idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(n)])))
+
+
+def word_shingles(col, n: int = 3) -> "F.Column":
+    """n-gram (word shingle) array of lowercased text. Convenience form for
+    expression contexts; hot paths should tokenize into a column and use
+    shingles_of_tokens (see its docstring for why)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -68,10 +78,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """MinHash signature per document: explode shingles once, compute K
     salted md5 hashes as columns, take per-doc mins — a single partial-agg
     shuffle. Returns (id, minhash_0..K-1)."""
-    shingled = df.select(
-        F.col(id_col),
-        F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), shingle_n)))
-         .alias("shingle"))
+    shingled = (df
+                .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+                .select(F.col(id_col),
+                        F.explode_outer(F.array_distinct(
+                            shingles_of_tokens(F.col("_toks"), shingle_n)))
+                        .alias("shingle")))
     aggs = [
         F.min(md5_long(F.concat(F.lit(f"s{i}:"), F.col("shingle"))))
          .alias(f"minhash_{i}")
@@ -109,9 +121,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the LSH verify step).
     Sparse: joins only the candidate pairs back to the corpus."""
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-                    .alias("sh"))
+    sh = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .select(F.col(id_col),
+                    F.array_distinct(shingles_of_tokens(F.col("_toks"),
+                                                        shingle_n)).alias("sh")))
     j = (pairs
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
