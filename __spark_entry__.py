@@ -264,6 +264,19 @@ def q_lsh_jaccard_dedup(spark, sf_dir):
             .filter(F.col("jaccard") >= 0.5))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus-dedup final step: verified near-dup pairs (the
+    lsh_jaccard_dedup pipeline) → connected components → per-doc cluster
+    assignment (cluster_id = min doc id). Hash-min label propagation, one
+    join + partial-agg min per round; the oracle replays it as a DuckDB
+    recursive-CTE reachability (exact at sf0.01 pair counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (DD.jaccard_pairs(
+        docs, DD.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=2),
+        shingle_n=2).filter(F.col("jaccard") >= 0.5))
+    return DD.dup_clusters(pairs)
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash as pure JVM expressions (md5-keyed token hashes) —
     oracle-checked: DuckDB computes the identical signature."""
@@ -579,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_jaccard_dedup": q_lsh_jaccard_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "html_link_extract": q_html_link_extract,
         "sitemap_extract": q_sitemap_extract,
         "robots_sitemap_extract": q_robots_sitemap_extract,
@@ -1033,5 +1047,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
                     greatest(len(list_distinct(sa.shingles || sb.shingles)),
                              1)::DOUBLE, 4) >= 0.5
+        """)
+    # connected components over the verified pair set: recursive-CTE
+    # reachability (closure materialization — exact, oracle-scale only;
+    # the engine uses hash-min label propagation instead)
+    sql["dedup_clusters"] = (
+        shingle_sql.replace("WITH tk", "WITH RECURSIVE tk", 1) + f"""
+        , sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, 0 AS band, minhash_0 AS h0, minhash_1 AS h1 FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, minhash_2 AS h0, minhash_3 AS h1 FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+          WHERE round(len(list_intersect(sa.shingles, sb.shingles)) /
+                      greatest(len(list_distinct(sa.shingles || sb.shingles)),
+                               1)::DOUBLE, 4) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL
+          SELECT id_b, id_a FROM verified
+        ),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """)
     return sql

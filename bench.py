@@ -171,6 +171,16 @@ def main():
             break
     attempts = len(attempts_log)
 
+    # corroborating N->4N pair at half width (4 -> 16): the hypervisor's
+    # steal bursts hit 32-wide runs hardest (see BENCH/BASELINE.md §2), so
+    # a second, narrower pair separates "the engine stops scaling" from
+    # "the box stops granting 32 ways" — on a real cluster both pairs are
+    # just executor counts.
+    cal_4_16 = _calibrate(4, 16)["cpu_scaling_8_to_32"]
+    cyc4 = _worker("cycle", "local[4]")
+    cyc16 = _worker("cycle", "local[16]")
+    eff_4_16 = round(cyc4["wall_s"] / cyc16["wall_s"] / 4.0, 3)
+
     result = {
         "metric": "headline suite sec (+ crawl urls/sec + N->4N scaling)",
         "value": suite_s,
@@ -202,6 +212,12 @@ def main():
             "attempt_log": attempts_log,
             "host_calibration": {"cpu_scaling_8_to_32": max(
                 a["cpu_scaling_8_to_32"] for a in attempts_log)},
+            "pair_4_to_16": {
+                "cycle_core_wall_s_local[4]": cyc4["wall_s"],
+                "cycle_core_wall_s_local[16]": cyc16["wall_s"],
+                "efficiency_n_to_4n": eff_4_16,
+                "host_cpu_scaling_4_to_16": cal_4_16,
+            },
             # prior quiet-window capability measurement (BENCH/BASELINE.md):
             # the engine's scaling when the hypervisor isn't stalling 32-way
             # runs; kept here so a noisy round is distinguishable from a

@@ -240,3 +240,40 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming")
                 .distinct())
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → cluster assignment
+    (doc_id, cluster_id = min doc id in the component) — the corpus-dedup
+    final step: LSH finds pairs, this turns pairs into keep/drop groups.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round joins neighbor labels and keeps the min; stop at fixpoint.
+    Scale shape: rounds = component diameter (near-dup clusters from LSH
+    are near-cliques, so 2-3 rounds in practice); each round is one
+    equi-join + one partial-agg min — never materializes the transitive
+    closure; labels localCheckpoint per round so lineage stays flat.
+    Oracle twin: DuckDB WITH RECURSIVE reachability (exact on the sf0.01
+    pair set; closure-based, viable only at oracle scale)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym.dst == labels.id)
+               .select(F.col("src").alias("id"), F.col("label")))
+        new_labels = (labels.select("id", "label").unionByName(nbr)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -352,3 +352,21 @@ def test_agg_uses_partial_aggregation(spark, sf_dir):
     # partial (map-side) + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_dup_clusters_connected_components(spark):
+    """Hash-min label propagation: chain, triangle, and isolated pair all
+    collapse to min-id clusters; convergence needs > 1 round for the
+    chain."""
+    from supercrawler_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4 (diameter 3)
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                        # pair
+        ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
