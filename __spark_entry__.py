@@ -540,6 +540,35 @@ def q_stateful_host_counts(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_streaming_link_ingest(spark, sf_dir):
+    """Streaming frontier ingestion (foreachBatch): three overlapping
+    micro-batches of discovered links deduped against a static seen set
+    AND everything admitted by earlier batches — cross-batch state is the
+    engine's distributed PartitionedBloom. The admitted set equals the
+    batch distinct-minus-seen, so the oracle is exact SQL."""
+    import tempfile
+
+    import pandas as pd
+
+    from supercrawler_spark.streaming import streaming_link_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url_c = F.concat(F.lit("http://h"), F.pmod(F.col("doc_id"), F.lit(7)),
+                     F.lit(".example/d"), F.col("doc_id"))
+    seen_df = docs.filter(F.col("doc_id") < 100).select(url_c.alias("url"))
+    tmp = tempfile.mkdtemp(prefix="sc-ingest-")
+    links_dir = os.path.join(tmp, "links")
+    out_dir = os.path.join(tmp, "delta")
+    os.makedirs(links_dir)
+    for i, (lo, hi) in enumerate(((0, 200), (150, 350), (300, 450))):
+        batch = (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                 .select(url_c.alias("url")).toPandas())
+        pd.DataFrame(batch).to_parquet(
+            os.path.join(links_dir, f"b{i}.parquet"), index=False)
+    return streaming_link_ingest(spark, links_dir, seen_df, out_dir,
+                                 max_files_per_trigger=1).select("url")
+
+
 def q_crawl_e2e(spark, sf_dir):
     """The crawl loop end-to-end on the synthetic web fixture (rows-only;
     full parity vs the reference simulator is asserted in
@@ -612,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_dedup": q_streaming_dedup,
         "stateful_host_counts": q_stateful_host_counts,
+        "streaming_link_ingest": q_streaming_link_ingest,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -803,6 +833,22 @@ def oracle_sql() -> dict[str, str]:
         "stateful_host_counts": """
             SELECT user_id, count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id
+        """,
+        "streaming_link_ingest": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'http://h' || (doc_id % 7) || '.example/d' || doc_id AS url
+              FROM documents
+            ),
+            links AS (
+              SELECT url FROM urls WHERE doc_id >= 0   AND doc_id < 200
+              UNION ALL
+              SELECT url FROM urls WHERE doc_id >= 150 AND doc_id < 350
+              UNION ALL
+              SELECT url FROM urls WHERE doc_id >= 300 AND doc_id < 450
+            )
+            SELECT DISTINCT url FROM links
+            WHERE url NOT IN (SELECT url FROM urls WHERE doc_id < 100)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -159,3 +159,65 @@ def stream_crawl_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_link_ingest(spark: SparkSession, links_dir: str,
+                          seen_df: DataFrame, out_dir: str,
+                          bloom=None,
+                          max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming frontier ingestion — the streaming twin of the crawl
+    cycle's J1 dedup: a file-stream of discovered links (one file ≈ one
+    crawl cycle's output) is deduped per micro-batch against (a) the static
+    seen set and (b) everything admitted by EARLIER micro-batches, then
+    appended to a frontier-delta parquet directory.
+
+    Cross-batch dedup state is the engine's own PartitionedBloom: each
+    foreachBatch calls ``prefilter`` (definitively-new rows skip the exact
+    verify; the seen table streams through broadcast semi/anti joins, never
+    shuffles) and then ``add``s the admitted urls — exactly how a
+    continuously-running crawler would keep its seen-filter current, and
+    identical state management to the batch engine (the filter is a
+    distributed pid-keyed table; nothing driver-resident). With
+    ``availableNow`` the final admitted set equals the batch
+    ``dropDuplicates ∘ left_anti`` — asserted in tests.
+
+    Returns the admitted-url DataFrame read back from ``out_dir``.
+    """
+    from .bloom import PartitionedBloom
+
+    if bloom is None:
+        bloom = PartitionedBloom(partitions=8, capacity=1 << 16)
+        bloom.add(spark, seen_df, "url")
+    schema = spark.read.parquet(links_dir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", links_dir)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .load())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.select("url").dropDuplicates(["url"])
+        # exact-verify side = static seen ∪ everything already admitted
+        # (the out_dir delta): the bloom alone routes repeats from EARLIER
+        # micro-batches into the verify, and the verify must know about
+        # them or it would re-admit — same base∪delta shape as the engine's
+        # frontier view
+        seen_all = seen_df.select("url")
+        if os.path.isdir(out_dir) and any(
+                e.endswith(".parquet") for e in os.listdir(out_dir)):
+            seen_all = seen_all.unionByName(
+                spark.read.parquet(out_dir).select("url"))
+        new = bloom.prefilter(spark, cand, "url", seen_all,
+                              method="cogroup", verify="broadcast")
+        new = new.persist()
+        if new.count():
+            new.write.mode("append").parquet(out_dir)
+            bloom.add(spark, new, "url")
+        new.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="sc-stream-ckpt-")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

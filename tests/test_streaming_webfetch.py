@@ -144,3 +144,41 @@ def test_merge_request_options_nested():
     out2 = webfetch.merge_request_options({}, user)
     out2["proxies"]["http"]["port"] = 2
     assert user["proxies"]["http"]["port"] == 1
+
+
+def test_streaming_link_ingest_equals_batch_dedup(spark, tmp_path):
+    """Streaming frontier ingestion: three overlapping link files (one per
+    micro-batch, maxFilesPerTrigger=1) against a static seen set — the
+    admitted set must equal the batch dropDuplicates+anti-join, with
+    repeats across micro-batches admitted exactly once."""
+    import pandas as pd
+
+    from supercrawler_spark.streaming import streaming_link_ingest
+
+    seen_urls = [f"http://h{i % 7}.example/seen{i}" for i in range(200)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], ["url"])
+
+    links_dir = str(tmp_path / "links")
+    out_dir = str(tmp_path / "frontier_delta")
+    import os
+    os.makedirs(links_dir)
+    # batch 0: 50 seen + 50 new; batch 1: repeats 25 of batch 0's new + 50
+    # fresh; batch 2: pure repeats (must admit nothing)
+    b0 = seen_urls[:50] + [f"http://h{i % 7}.example/new{i}" for i in range(50)]
+    b1 = [f"http://h{i % 7}.example/new{i}" for i in range(25)] + \
+         [f"http://h{i % 7}.example/fresh{i}" for i in range(50)]
+    b2 = b0[:30] + b1[:30]
+    for i, urls in enumerate((b0, b1, b2)):
+        pd.DataFrame({"url": urls}).to_parquet(
+            f"{links_dir}/cycle{i}.parquet", index=False)
+
+    got = streaming_link_ingest(spark, links_dir, seen_df, out_dir,
+                                max_files_per_trigger=1)
+    got_urls = sorted(r["url"] for r in got.collect())
+
+    all_links = spark.createDataFrame([(u,) for u in b0 + b1 + b2], ["url"])
+    want = sorted(r["url"] for r in
+                  all_links.dropDuplicates(["url"])
+                  .join(seen_df, "url", "left_anti").collect())
+    assert got_urls == want          # exact, incl. cross-batch repeats
+    assert len(got_urls) == len(set(got_urls)) == 100
