@@ -327,6 +327,35 @@ def q_rolling_fingerprint(spark, sf_dir):
                        TX.rolling_fingerprint(F.col("text")).alias("roll_hash"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing gate: deterministic email/IP/phone strings are grafted
+    onto each document (so the operator has real matches to find), then
+    counted and redacted to typed placeholders — all JVM regexp, RE2-safe
+    patterns, exact DuckDB twin (regexp_replace with 'g')."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example"), F.pmod(F.col("doc_id"), F.lit(9)).cast("string"),
+        F.lit(".com via 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(255)).cast("string"),
+        F.lit(".7 or +1 555 01"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"))
+    n_em, n_ip, n_ph = TX.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_ph.cast("long").alias("n_phones"),
+        F.md5(TX.redact_pii(aug)).alias("redacted_md5"))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signal: frequency share of the most
+    repeated 3-gram per document (exploded two-level agg, JVM-only)."""
+    return TX.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
@@ -634,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "pii_redact": q_pii_redact,
+        "repetition_ratio": q_repetition_ratio,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -979,6 +1010,52 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fp
             FROM documents
+        """,
+        "pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example' ||
+                     (doc_id % 9) || '.com via 10.0.' || (doc_id % 255) ||
+                     '.7 or +1 555 01' ||
+                     lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{TX.PII_EMAIL}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, '{TX.PII_IPV4}'))::BIGINT
+                     AS n_ipv4,
+                   len(regexp_extract_all(t, '{TX.PII_PHONE}'))::BIGINT
+                     AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '{TX.PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{TX.PII_IPV4}', '<IP>', 'g'),
+                       '{TX.PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+            FROM aug
+        """,
+        "repetition_ratio": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE [] END AS grams
+              FROM tk
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+            a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.tot, 0)::BIGINT AS n_ngrams,
+                   CASE WHEN coalesce(a.tot, 0) > 0
+                        THEN round(a.mx / a.tot::DOUBLE, 4)
+                        ELSE 0.0 END AS repetition_ratio
+            FROM tk t LEFT JOIN a ON t.doc_id = a.doc_id
         """,
         "bpe_token_count": """
             SELECT doc_id,

@@ -155,3 +155,53 @@ def fingerprint(col) -> Column:
     formatting noise."""
     normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(normalized)
+
+
+# -- PII scrubbing (crawl-corpus redaction gate) ------------------------------
+# RE2-compatible patterns (no lookaround) so the Java engine and an ANSI-SQL
+# oracle (DuckDB/RE2) match byte-for-byte
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ()\-]{6,14}[0-9]"
+
+
+def pii_counts(col) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_phones) match counts — JVM regexp only."""
+    return (F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
+            F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
+            F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))))
+
+
+def redact_pii(col) -> Column:
+    """Replace emails / IPv4 addresses / international phone numbers with
+    typed placeholder tokens — the standard pre-training redaction pass.
+    Order matters: emails first (an email never contains an IP-shaped
+    host after redaction), then IPs, then phones."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: the frequency share of the MOST
+    repeated word n-gram (max n-gram count / total n-gram count). Boiler-
+    plate and templated spam score high; clean prose scores ~1/#ngrams.
+    One exploded two-level aggregation (count per (doc, gram) → max+sum
+    per doc), all JVM; docs with fewer than n tokens score 0.0."""
+    from .dedup import shingles_of_tokens
+
+    sh = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col),
+                  F.explode_outer(shingles_of_tokens(F.col("_toks"), n))
+                  .alias("gram")))
+    counts = sh.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(id_col).agg(
+        F.max(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("mx"),
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c"))
+              .otherwise(F.lit(0))).alias("tot"))
+    ratio = F.when(F.col("tot") > 0,
+                   F.round(F.col("mx") / F.col("tot").cast("double"), 4)) \
+             .otherwise(F.lit(0.0))
+    return agg.select(F.col(id_col), F.col("tot").alias("n_ngrams"),
+                      ratio.alias("repetition_ratio"))

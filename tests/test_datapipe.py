@@ -370,3 +370,35 @@ def test_dup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (0, "reach me at jane.doe+x@corp.example.org or call +1 555 123 4567"),
+        (1, "server at 192.168.0.17 went down; backup 10.0.0.1 is fine"),
+        (2, "no pii here, just words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_em, n_ip, n_ph = TX.pii_counts(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", n_em.alias("e"), n_ip.alias("i"), n_ph.alias("p"),
+        TX.redact_pii(F.col("text")).alias("red")).collect()}
+    assert (out[0]["e"], out[0]["p"]) == (1, 1)
+    assert out[1]["i"] == 2
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 0, 0)
+    assert "<EMAIL>" in out[0]["red"] and "jane" not in out[0]["red"]
+    assert "<PHONE>" in out[0]["red"] and "4567" not in out[0]["red"]
+    assert out[1]["red"].count("<IP>") == 2 and "192.168" not in out[1]["red"]
+    assert out[2]["red"] == rows[2][1]  # untouched
+
+
+def test_repetition_ratio_scores_boilerplate_high(spark):
+    clean = "the quick brown fox jumps over one lazy dog near a red barn door"
+    spam = "buy now " * 10  # one dominant 3-gram
+    short = "hi there"      # < 3 tokens → 0.0
+    df = spark.createDataFrame(
+        [(0, clean), (1, spam.strip()), (2, short)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.repetition_ratio(df, n=3).collect()}
+    assert out[0]["repetition_ratio"] < 0.15
+    assert out[1]["repetition_ratio"] > 0.4
+    assert out[2]["repetition_ratio"] == 0.0 and out[2]["n_ngrams"] == 0
