@@ -327,6 +327,20 @@ def q_rolling_fingerprint(spark, sf_dir):
                        TX.rolling_fingerprint(F.col("text")).alias("roll_hash"))
 
 
+def q_contamination_screen(spark, sf_dir):
+    """Decontamination gate: fraction of each doc's distinct 3-grams found
+    in a blocklist (here: the 3-grams of docs 0-9, standing in for an eval
+    set). Blocklist broadcasts; the corpus explodes once, never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") < 10)
+    blocklist = (eval_docs
+                 .select(TX.tokens(F.col("text")).alias("_toks"))
+                 .select(F.explode(F.array_distinct(
+                     DD.shingles_of_tokens(F.col("_toks"), 3))).alias("gram"))
+                 .distinct())
+    return DD.contamination_screen(docs, blocklist, n=3)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing gate: deterministic email/IP/phone strings are grafted
     onto each document (so the operator has real matches to find), then
@@ -664,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "pii_redact": q_pii_redact,
+        "contamination_screen": q_contamination_screen,
         "repetition_ratio": q_repetition_ratio,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1010,6 +1025,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fp
             FROM documents
+        """,
+        "contamination_screen": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     ELSE [] END AS grams
+              FROM tk
+            ),
+            bl AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id < 10
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+            agg AS (
+              SELECT ex.doc_id, count(*) AS n_grams,
+                     count(bl.gram) AS n_contaminated
+              FROM ex LEFT JOIN bl ON ex.gram = bl.gram
+              GROUP BY ex.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(a.n_contaminated, 0)::BIGINT AS n_contaminated,
+                   CASE WHEN coalesce(a.n_grams, 0) > 0
+                        THEN round(a.n_contaminated / a.n_grams::DOUBLE, 4)
+                        ELSE 0.0 END AS contamination_ratio
+            FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
         """,
         "pii_redact": f"""
             WITH aug AS (

@@ -277,3 +277,35 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def contamination_screen(df: DataFrame, blocklist: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         gram_col: str = "gram", n: int = 3) -> DataFrame:
+    """Benchmark-contamination screening: the fraction of a document's
+    distinct word n-grams that appear in a blocklist (e.g. the n-grams of
+    an evaluation set) — the standard decontamination gate before training.
+
+    Scale shape: documents explode their distinct n-grams ONCE (tokenized
+    into a column first — see shingles_of_tokens); the blocklist joins
+    broadcast (eval-set shingle lists are small next to a training corpus),
+    so the corpus never shuffles; per-doc hit/total counts come from one
+    partial aggregation. Returns (id, n_grams, n_contaminated,
+    contamination_ratio), ratio 0.0 for docs with < n tokens."""
+    sh = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+          .select(F.col(id_col),
+                  F.explode_outer(F.array_distinct(
+                      shingles_of_tokens(F.col("_toks"), n))).alias("_gram")))
+    bl = blocklist.select(F.col(gram_col).alias("_gram")).distinct()
+    flagged = sh.join(F.broadcast(bl.withColumn("_hit", F.lit(1))),
+                      "_gram", "left")
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.col("_gram")).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"))
+    ratio = F.when(F.col("n_grams") > 0,
+                   F.round(F.col("n_contaminated") /
+                           F.col("n_grams").cast("double"), 4)) \
+             .otherwise(F.lit(0.0))
+    return agg.select(F.col(id_col), F.col("n_grams").cast("long"),
+                      F.col("n_contaminated").cast("long"),
+                      ratio.alias("contamination_ratio"))

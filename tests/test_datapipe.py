@@ -402,3 +402,21 @@ def test_repetition_ratio_scores_boilerplate_high(spark):
     assert out[0]["repetition_ratio"] < 0.15
     assert out[1]["repetition_ratio"] > 0.4
     assert out[2]["repetition_ratio"] == 0.0 and out[2]["n_ngrams"] == 0
+
+
+def test_contamination_screen(spark):
+    eval_text = "the capital of france is paris"
+    docs = spark.createDataFrame([
+        (0, f"trivia time {eval_text} and more trivia"),  # contaminated
+        (1, "a completely unrelated sentence about spark shuffles here"),
+        (2, "xy"),                                         # < 3 tokens
+    ], ["doc_id", "text"])
+    bl_rows = [("the capital of",), ("capital of france",),
+               ("of france is",), ("france is paris",)]
+    blocklist = spark.createDataFrame(bl_rows, ["gram"])
+    out = {r["doc_id"]: r for r in
+           DD.contamination_screen(docs, blocklist, n=3).collect()}
+    assert out[0]["n_contaminated"] == 4
+    assert out[0]["contamination_ratio"] > 0.4
+    assert out[1]["n_contaminated"] == 0 and out[1]["contamination_ratio"] == 0.0
+    assert out[2]["n_grams"] == 0 and out[2]["contamination_ratio"] == 0.0
