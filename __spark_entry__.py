@@ -327,6 +327,31 @@ def q_rolling_fingerprint(spark, sf_dir):
                        TX.rolling_fingerprint(F.col("text")).alias("roll_hash"))
 
 
+def q_quality_gate(spark, sf_dir):
+    """The composed keep/drop decision a training pipeline actually ships:
+    quality features + repetition + contamination joined into one boolean
+    gate. Each stage is its own one-pass aggregation; the join keys are the
+    doc id, so the compose adds no extra corpus scans beyond its inputs.
+    Oracle = the same three SQL blocks nested as derived tables."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = TX.quality_features(docs).select("doc_id", "quality_score")
+    rep = TX.repetition_ratio(docs, n=3).select("doc_id", "repetition_ratio")
+    eval_docs = docs.filter(F.col("doc_id") < 10)
+    blocklist = (eval_docs
+                 .select(TX.tokens(F.col("text")).alias("_toks"))
+                 .select(F.explode(F.array_distinct(
+                     DD.shingles_of_tokens(F.col("_toks"), 3))).alias("gram"))
+                 .distinct())
+    cont = (DD.contamination_screen(docs, blocklist, n=3)
+            .select("doc_id", "contamination_ratio"))
+    keep = ((F.col("quality_score") >= 0.5)
+            & (F.col("repetition_ratio") < 0.3)
+            & (F.col("contamination_ratio") < 0.05))
+    return (quality.join(rep, "doc_id").join(cont, "doc_id")
+            .select("doc_id", "quality_score", "repetition_ratio",
+                    "contamination_ratio", keep.alias("keep")))
+
+
 def q_contamination_screen(spark, sf_dir):
     """Decontamination gate: fraction of each doc's distinct 3-grams found
     in a blocklist (here: the 3-grams of docs 0-9, standing in for an eval
@@ -679,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "pii_redact": q_pii_redact,
         "contamination_screen": q_contamination_screen,
+        "quality_gate": q_quality_gate,
         "repetition_ratio": q_repetition_ratio,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1257,4 +1283,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
         """)
+    sql["quality_gate"] = f"""
+        SELECT q.doc_id, q.quality_score, r.repetition_ratio,
+               c.contamination_ratio,
+               (q.quality_score >= 0.5 AND r.repetition_ratio < 0.3
+                AND c.contamination_ratio < 0.05) AS keep
+        FROM (SELECT doc_id, quality_score FROM ({sql['quality_score']})) q
+        JOIN (SELECT doc_id, repetition_ratio
+              FROM ({sql['repetition_ratio']})) r ON q.doc_id = r.doc_id
+        JOIN (SELECT doc_id, contamination_ratio
+              FROM ({sql['contamination_screen']})) c ON q.doc_id = c.doc_id
+    """
     return sql
