@@ -279,7 +279,16 @@ class PartitionedBloom:
         suspect branches read it); the PREVIOUS call's persist is released
         here, and ``release()`` drops the last one — so a crawl loop
         calling prefilter once per cycle holds at most one cycle's flags
-        in executor storage, not an unbounded accumulation."""
+        in executor storage, not an unbounded accumulation.
+
+        CONTRACT: materialize (checkpoint/collect/write) the returned
+        DataFrame BEFORE the next ``prefilter()`` or ``add()`` on this
+        filter. The result is lazy; once the previous persist is released
+        and the filter has absorbed more keys, recomputing an old result
+        re-probes the now-fuller filter and can reroute rows
+        (definite-new → suspect), silently changing what downstream sees.
+        The engine always localCheckpoints new_rows first
+        (crawler.run_cycle) — external callers must do the same."""
         self.release()
         if method == "cogroup":
             flagged = self.maybe_seen_flag_cogrouped(
@@ -608,9 +617,24 @@ class PartitionedCuckoo:
                 .applyInPandas(probe, schema=out_schema))
 
     # -- persistence (table-direct, like PartitionedBloom) ------------------
+    def _zero_table(self, spark: SparkSession) -> DataFrame:
+        """All-P zero-slots table, generated executor-side — mirrors
+        PartitionedBloom._zero_table so a never-added filter roundtrips
+        through to_df/from_df (meta rows exist even when empty)."""
+        nb = self.n_buckets
+
+        @F.pandas_udf(T.BinaryType())
+        def zeros(pid: pd.Series) -> pd.Series:
+            z = np.zeros((nb, 4), dtype=np.uint16).tobytes()
+            return pd.Series([z] * len(pid))
+
+        return (spark.range(self.P)
+                .select(F.col("id").cast("int").alias("pid"))
+                .repartition(self.P, "pid")
+                .select("pid", zeros("pid").alias("slots")))
+
     def to_df(self, spark: SparkSession) -> DataFrame:
-        t = self._table if self._table is not None else \
-            spark.createDataFrame([], schema=CUCKOO_TABLE_SCHEMA)
+        t = self._table if self._table is not None else self._zero_table(spark)
         return t.select(
             "pid", "slots",
             F.lit(self.n_buckets).cast("long").alias("n_buckets"),

@@ -925,9 +925,6 @@ class SparkCrawler:
         if getattr(self, "_scored_tmp", None) is not None:
             self._scored_tmp.unpersist()
             self._scored_tmp = None
-        if getattr(self, "_seq_tmp", None) is not None:
-            self._seq_tmp.unpersist()
-            self._seq_tmp = None
 
         # --- lineage / metrics (S7, A5) -------------------------------------
         self._log_cycle(result_rows, stats)
@@ -965,9 +962,13 @@ class SparkCrawler:
         tests/test_crawl_parity.py."""
         n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions") or 32)
         keys = [F.col("batch_idx"), F.col("source_order"), F.col("link_idx")]
+        # localCheckpoint (not persist): pins the range partitioning so the
+        # collected per-partition counts can never go stale — with persist(),
+        # losing cached blocks would re-sample the range boundaries and
+        # redistribute rows, silently duplicating/skipping seqs.
         lu = (links.repartitionByRange(n_part, *keys)
               .withColumn("_spid", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=True))
         counts = {r["_spid"]: r["n"] for r in
                   lu.groupBy("_spid").agg(F.count(F.lit(1)).alias("n")).collect()}
         offsets, acc = {}, 0
@@ -979,7 +980,6 @@ class SparkCrawler:
                           T.StructType([T.StructField("_spid", T.IntegerType()),
                                         T.StructField("_off", T.LongType())]))
         w = Window.partitionBy("_spid").orderBy(*keys)
-        self._seq_tmp = lu  # unpersisted at end of cycle
         return (lu.join(F.broadcast(off_df), "_spid")
                 .withColumn("seq", F.lit(self.max_seq) + F.col("_off")
                             + F.row_number().over(w).cast("long"))

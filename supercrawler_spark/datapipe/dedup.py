@@ -262,6 +262,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.dst == labels.id)
                .select(F.col("src").alias("id"), F.col("label")))
@@ -275,6 +276,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            f"rounds (a component's diameter exceeds the cap); raise "
+            f"max_iter — returning partial labels would silently split "
+            f"clusters")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

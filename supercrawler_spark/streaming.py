@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def windowed_event_counts(spark: SparkSession, events_path: str,
@@ -220,4 +221,11 @@ def streaming_link_ingest(spark: SparkSession, links_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # If no micro-batch admitted any URL (every candidate already seen),
+    # out_dir was never written — return an empty url frame instead of
+    # letting spark.read raise PATH_NOT_FOUND.
+    if not (os.path.isdir(out_dir) and any(
+            e.endswith(".parquet") for e in os.listdir(out_dir))):
+        return spark.createDataFrame(
+            [], schema=T.StructType([T.StructField("url", T.StringType())]))
     return spark.read.parquet(out_dir)

@@ -314,3 +314,22 @@ def test_partitioned_cuckoo_mutate_never_ships_slots_to_driver(spark, url_sets):
     binary_fields = [(s, f.name) for s in collected
                      for f in s.fields if isinstance(f.dataType, T.BinaryType)]
     assert not binary_fields, f"slot bytes crossed the driver: {binary_fields}"
+
+def test_cuckoo_empty_roundtrip(spark):
+    """to_df on a never-added cuckoo filter must carry meta rows so
+    from_df can roundtrip (ADVICE r3: previously returned 0 rows and
+    from_df crashed on meta None)."""
+    from supercrawler_spark.bloom import PartitionedCuckoo
+
+    cf = PartitionedCuckoo(partitions=4, capacity_per_partition=1 << 10)
+    restored = PartitionedCuckoo.from_df(cf.to_df(spark))
+    assert restored.P == 4 and restored.n_added == 0
+    assert restored.n_buckets == cf.n_buckets
+    urls = spark.createDataFrame([(f"http://x/{i}",) for i in range(20)],
+                                 ["url"])
+    flags = restored.contains_flag(spark, urls).collect()
+    assert all(not r["_maybe_seen"] for r in flags)
+    # the restored filter is fully functional: add then probe
+    assert restored.add(spark, urls) == 20
+    flags2 = restored.contains_flag(spark, urls).collect()
+    assert all(r["_maybe_seen"] for r in flags2)

@@ -420,3 +420,18 @@ def test_contamination_screen(spark):
     assert out[0]["contamination_ratio"] > 0.4
     assert out[1]["n_contaminated"] == 0 and out[1]["contamination_ratio"] == 0.0
     assert out[2]["n_grams"] == 0 and out[2]["contamination_ratio"] == 0.0
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """A path-graph component with diameter > max_iter must raise, not
+    silently return split clusters (ADVICE r3)."""
+    import pytest
+
+    from supercrawler_spark.datapipe.dedup import dup_clusters
+
+    chain = [(f"d{i}", f"d{i+1}") for i in range(12)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+    # and with enough rounds the same graph converges to one cluster
+    got = {r["cluster_id"] for r in dup_clusters(pairs, max_iter=20).collect()}
+    assert got == {"d0"}

@@ -182,3 +182,23 @@ def test_streaming_link_ingest_equals_batch_dedup(spark, tmp_path):
                   .join(seen_df, "url", "left_anti").collect())
     assert got_urls == want          # exact, incl. cross-batch repeats
     assert len(got_urls) == len(set(got_urls)) == 100
+
+def test_streaming_link_ingest_all_seen_returns_empty(spark, tmp_path):
+    """Every candidate already seen → no micro-batch writes out_dir; the
+    final read must return an empty url frame, not raise PATH_NOT_FOUND
+    (ADVICE r3)."""
+    import pandas as pd
+
+    from supercrawler_spark.streaming import streaming_link_ingest
+
+    seen_urls = [f"http://h{i % 3}.example/s{i}" for i in range(40)]
+    seen_df = spark.createDataFrame([(u,) for u in seen_urls], ["url"])
+    links_dir = str(tmp_path / "links")
+    out_dir = str(tmp_path / "delta")
+    import os
+    os.makedirs(links_dir)
+    pd.DataFrame({"url": seen_urls[:30]}).to_parquet(
+        f"{links_dir}/cycle0.parquet", index=False)
+    got = streaming_link_ingest(spark, links_dir, seen_df, out_dir)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["url"]
