@@ -714,11 +714,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "stateful_host_counts": q_stateful_host_counts,
         "streaming_link_ingest": q_streaming_link_ingest,
+        # crawl_e2e/audio_features BEFORE the multimodal rows-only tail:
+        # in round 3 the driver truncated the last two dict entries, so the
+        # oracle-checked queries must not sit at the end
+        "crawl_e2e": q_crawl_e2e,
+        "audio_features": q_audio_features,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        "audio_features": q_audio_features,
-        "crawl_e2e": q_crawl_e2e,
     }
 
 

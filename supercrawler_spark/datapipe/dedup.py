@@ -173,9 +173,12 @@ def simhash(df: DataFrame, text_col: str = "text",
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("tok"))
-    h = md5_long(F.col("tok"))
+    # hash hoisted into a projection so the 60 per-bit aggregates read one
+    # precomputed column instead of repeating md5 in every agg expression
+    exploded = exploded.select(
+        F.col(id_col), F.col("tok"), md5_long(F.col("tok")).alias("_h"))
     aggs = [F.count(F.col("tok")).alias("n_tok")] + [
-        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)))
+        F.sum(F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)))
          .alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -213,7 +216,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
     n_chunks = max_hamming + 1
     defs = _chunk_defs(SIMHASH_BITS, n_chunks)
-    sig = simhash(df, text_col, id_col)
+    # materialize the signature table before the self-join: it is tiny
+    # (n rows x 16 bytes) but Spark plans NO exchange reuse across the two
+    # join sides, so without this the 61-column token aggregation — the
+    # dominant cost — runs twice (plan showed 2 scans + 6 HashAggregates)
+    sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(F.lit(c).alias("chunk_idx"),
                  (F.shiftrightunsigned(F.col("simhash"), off)

@@ -224,22 +224,32 @@ def det_lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     sig_udfs = [make_det_signature_udf(dim, n_planes, t)
                 for t in range(n_tables)]
 
-    def with_sigs(frame, idn, vn):
-        out = frame.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vn))
+    def with_sigs(frame, idn):
+        out = frame.select(F.col(id_col).alias(idn),
+                           F.col(vec_col).alias("_v"))
         for t in range(n_tables):
-            out = out.withColumn(f"_s{t}", sig_udfs[t](F.col(vn)))
+            out = out.withColumn(f"_s{t}", sig_udfs[t](F.col("_v")))
         return out.select(
-            idn, vn,
+            idn,
             F.explode(F.array(*[
                 F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("s"))
                 for t in range(n_tables)])).alias("bucket"))
 
-    q = with_sigs(queries, "q_id", "q_vec")
-    c = with_sigs(df, "n_id", "n_vec")
-    cand = (q.join(c, "bucket")
-             .filter(F.col("q_id") != F.col("n_id"))
-             .select("q_id", "q_vec", "n_id", "n_vec")
-             .distinct())
+    # Collision join + distinct carry IDS ONLY — at dim=768 float a
+    # vector-carrying distinct exchanges ~6 KB/row for what is a key-dedup.
+    # Vectors rejoin afterwards: queries broadcast (small), then the bounded
+    # candidate set broadcasts INTO the corpus scan, so the corpus is read
+    # once and never exchanged.
+    q = with_sigs(queries, "q_id")
+    c = with_sigs(df, "n_id")
+    cand_ids = (q.join(c, "bucket")
+                 .filter(F.col("q_id") != F.col("n_id"))
+                 .select("q_id", "n_id")
+                 .distinct())
+    qv = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"))
+    nv = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    cand = nv.join(F.broadcast(cand_ids.join(F.broadcast(qv), "q_id")), "n_id")
     scored = cand.withColumn(
         "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
@@ -333,19 +343,24 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         return out
 
     q = with_buckets(queries, "q").select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col(id_col).alias("q_id"),
         F.explode(F.array(*[F.struct(F.lit(t).alias("t"),
                                      F.col(f"qb{t}").alias("b"))
                             for t in range(len(sigs))])).alias("bucket"))
     c = with_buckets(df, "c").select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col(id_col).alias("n_id"),
         F.explode(F.array(*[F.struct(F.lit(t).alias("t"),
                                      F.col(f"cb{t}").alias("b"))
                             for t in range(len(sigs))])).alias("bucket"))
-    cand = (q.join(c, "bucket")
-             .filter(F.col("q_id") != F.col("n_id"))
-             .select("q_id", "q_vec", "n_id", "n_vec")
-             .distinct())
+    # ids-only distinct, vectors rejoined after (see det_lsh_ann_topk)
+    cand_ids = (q.join(c, "bucket")
+                 .filter(F.col("q_id") != F.col("n_id"))
+                 .select("q_id", "n_id")
+                 .distinct())
+    qv = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"))
+    nv = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    cand = nv.join(F.broadcast(cand_ids.join(F.broadcast(qv), "q_id")), "n_id")
     scored = cand.withColumn(
         "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
