@@ -425,13 +425,17 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-flat ANN: k-means coarse quantizer, n_probe nearest centroids
-    probed per query, exact cosine re-rank on probed buckets (rows-only;
-    recall vs brute force gated in pytest)."""
+    """IVF-flat ANN with the deterministic sampled-centroid quantizer
+    (similarity.det_ivf_ann_topk): centroids = embeddings of vec_id 0..15,
+    integer-quantized L2 assignment, n_probe nearest centroids probed per
+    query, exact cosine re-rank — fully oracle-replayable (the MLlib
+    k-means variant ivf_ann_topk remains the trained-quantizer path,
+    recall-gated in pytest)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 20)
-    return SIM.ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return SIM.det_ivf_ann_topk(emb, queries, k=5,
+                                centroid_ids=tuple(range(16)), n_probe=4)
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -1183,6 +1187,11 @@ def oracle_sql() -> dict[str, str]:
         # collisions — and therefore the ANN result — match exactly
         "ann_lsh_topk": SIM.det_lsh_oracle_sql(
             dim=64, n_planes=4, n_tables=8, k=5),
+        # deterministic sampled-centroid IVF: integer-quantized L2
+        # assignment with (d2, cid) tie-break — both engines derive the
+        # identical buckets, so probe + re-rank replays exactly
+        "ann_ivf_topk": SIM.det_ivf_oracle_sql(
+            centroid_ids=tuple(range(16)), n_probe=4, k=5),
     }
     # minhash: explode(distinct 2-gram shingles) → per-doc salted-md5 mins
     shingle_sql = """

@@ -198,6 +198,37 @@ class PartitionedBloom:
         unchanged, so probe caches stay valid)."""
         self._table = table_df.select("pid", "bitset")
 
+    # -- capacity planning ---------------------------------------------------
+    def fp_rate_estimate(self) -> float:
+        """Analytic false-positive rate at the current fill, assuming
+        hash-uniform spread over partitions: (1 - e^{-k·n_p/m})^k with
+        n_p = n_added / P. At n >> capacity the filter saturates and the
+        prefilter silently degrades to the exact path (every candidate
+        flags maybe-seen); the crawl loop watches this estimate and
+        rebuilds at 2x partitions/bits when it crosses
+        CrawlConfig.bloom_rebuild_fpr."""
+        if self.n_added <= 0:
+            return 0.0
+        n_p = self.n_added / self.P
+        return float((1.0 - math.exp(-self.k * n_p / self.m)) ** self.k)
+
+    def grown_empty(self, factor: int = 2) -> "PartitionedBloom":
+        """Fresh EMPTY filter with ``factor``× the partitions and
+        ``factor``× the per-partition bits (factor² total bits) — the
+        rebuild target when fp_rate_estimate crosses the threshold. The
+        caller repopulates it from the authoritative seen set (the
+        frontier) with a normal distributed ``add``."""
+        out = PartitionedBloom.__new__(PartitionedBloom)
+        out.P = self.P * factor
+        out.m = self.m * factor
+        out.k = self.k
+        out.n_added = 0
+        out._table = None
+        out._bits_local = None
+        out._bc = None
+        out._last_flagged = None
+        return out
+
     # -- probe ---------------------------------------------------------------
     def maybe_seen_flag(self, spark: SparkSession, df: DataFrame,
                         col: str = "url",
@@ -456,6 +487,80 @@ class CuckooFilter:
                 return True
         return False  # table full
 
+    def add_batch(self, hs: np.ndarray) -> int:
+        """Vectorized batch insert: first-try placements into both
+        candidate buckets are numpy scatter ops (in-batch collisions
+        resolved by ranking keys within their bucket run); only keys whose
+        buckets are already full fall back to the sequential kick loop —
+        at realistic fill that is a small minority, so the per-key Python
+        overhead of ``add`` disappears from the hot path."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        if not len(hs):
+            return 0
+        nb = np.uint64(self.n_buckets)
+        pow2 = (self.n_buckets & (self.n_buckets - 1)) == 0
+        bmask = np.uint64(self.n_buckets - 1)
+
+        def _reduce(x: np.ndarray) -> np.ndarray:
+            # n_buckets is a power of two from the constructor; & is ~10x
+            # cheaper than uint64 % at 10^6 keys
+            return (x & bmask) if pow2 else (x % nb)
+
+        fp = ((hs >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = _reduce(hs).astype(np.int64)
+        i2 = _reduce(i1.astype(np.uint64)
+                     ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995))
+                     ).astype(np.int64)
+        pending = np.arange(len(hs))
+        n_ok = 0
+        for buckets in (i1, i2):
+            if not len(pending):
+                break
+            placed = self._scatter_place(buckets[pending], fp[pending])
+            n_ok += int(placed.sum())
+            pending = pending[~placed]
+        for j in pending:  # bucket-full minority: sequential cuckoo kicks
+            n_ok += bool(self.add(int(hs[j])))
+        return int(n_ok)
+
+    def _scatter_place(self, buckets: np.ndarray,
+                       fps: np.ndarray) -> np.ndarray:
+        """Place each (bucket, fp) into that bucket's next empty slot where
+        capacity allows: keys are ranked within their bucket run (stable
+        sort), key with rank r takes the (r+1)-th empty slot iff the bucket
+        has that many empties. Distinct (bucket, slot) targets by
+        construction — safe scatter. Returns the placed mask."""
+        n = len(buckets)
+        order = np.argsort(buckets, kind="stable")
+        b = buckets[order]
+        idx = np.arange(n)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.not_equal(b[1:], b[:-1], out=first[1:])
+        # rank within each equal-bucket run: index minus run start
+        rank = idx - np.maximum.accumulate(np.where(first, idx, 0))
+        # 4-bit occupancy word per key's bucket + two 16-entry LUTs:
+        # number of empty slots, and the slot index of the r-th empty slot
+        occ = ((self.slots[b] != 0).astype(np.uint8)
+               @ np.array([1, 2, 4, 8], dtype=np.uint8))
+        if not hasattr(CuckooFilter, "_OCC_LUT"):
+            nfree = np.zeros(16, dtype=np.int64)
+            free_at = np.zeros((16, 4), dtype=np.int64)
+            for w in range(16):
+                free = [s for s in range(4) if not (w >> s) & 1]
+                nfree[w] = len(free)
+                for r, s in enumerate(free):
+                    free_at[w, r] = s
+            CuckooFilter._OCC_LUT = (nfree, free_at)
+        nfree, free_at = CuckooFilter._OCC_LUT
+        can = rank < nfree[occ]
+        slot_idx = free_at[occ[can], np.minimum(rank[can], 3)]
+        self.slots[b[can], slot_idx] = fps[order][can]
+        placed = np.zeros(n, dtype=bool)
+        placed[order] = can
+        return placed
+
     def contains(self, h: int) -> bool:
         fp = self._fingerprint(h)
         i1, i2 = self._buckets(h)
@@ -547,12 +652,14 @@ class PartitionedCuckoo:
                     dtype=np.uint16).reshape(nb, 4).copy()
             else:
                 cf.slots = np.zeros((nb, 4), dtype=np.uint16)
-            n_ok = 0
             hs = keys["_h"].to_numpy().astype(np.uint64)
-            for h in hs:
-                if op == "add":
-                    n_ok += bool(cf.add(int(h)))
-                else:
+            if op == "add":
+                # vectorized first-try placement; Python loop only for
+                # keys whose candidate buckets are full (cuckoo kicks)
+                n_ok = cf.add_batch(hs)
+            else:
+                n_ok = 0
+                for h in hs:
                     n_ok += bool(cf.delete(int(h)))
             return pd.DataFrame({"pid": [pid], "slots": [cf.slots.tobytes()],
                                  "n_ok": [n_ok]})

@@ -134,6 +134,7 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("robots_denied", T.LongType()),
     T.StructField("errors", T.LongType()),
     T.StructField("cycle_time", T.DoubleType()),
+    T.StructField("bloom_fpr_est", T.DoubleType()),
 ])
 
 
@@ -226,7 +227,31 @@ class CrawlConfig:
     # matrix broadcast — each task gets only its url_hash range's bit array,
     # and the per-cycle add never re-collects the table) | "broadcast"
     # (small-filter fast path: table collected once per add and broadcast)
+    bloom_rebuild_fpr: float | None = 0.05
+    # capacity planning for 10^10-key frontiers: after every bloom add the
+    # engine checks the analytic fp_rate_estimate; above this threshold the
+    # filter silently stops filtering (every candidate routes to the exact
+    # verify), so it is rebuilt EMPTY at 2x partitions + 2x bits/partition
+    # and repopulated from the frontier (one distributed add), repeating
+    # until the estimate clears the threshold. The rebuild is logged in the
+    # metrics table (bloom_fpr_est column). None disables.
     max_redirect_hops: int = 10          # robots fetch follows redirects
+    fetch_mode: str = "join"
+    # "join": offline/fixture fetch — the batch broadcast-joins INTO the
+    #   web_pages table (tests, replays, warehouse-resident crawls);
+    # "http": live fetch — the batch runs through webfetch.fetch_stage's
+    #   mapInPandas HTTP kernel (reference Crawler.js:380-412 semantics:
+    #   binary body, no redirect-follow for pages, gzip), robots fetched
+    #   through the same transport with redirect-following. Identical crawl
+    #   order/seen set to "join" over the same web (parity-pinned in
+    #   tests/test_crawl_parity.py).
+    fetch_transport: object = None
+    # injectable transport(session, url, options) for fetch_mode="http" —
+    # tests stub the network with this; None = pooled requests.Session
+    request_opts: dict | None = None
+    # deep-merged over per-request defaults (reference opts.request,
+    # Crawler.js:382-394)
+    fetch_timeout_s: float = 30.0
 
 
 @dataclass
@@ -254,7 +279,7 @@ class CycleStats:
 
 
 class SparkCrawler:
-    def __init__(self, spark: SparkSession, web_pages: DataFrame,
+    def __init__(self, spark: SparkSession, web_pages: DataFrame | None,
                  workdir: str, config: CrawlConfig | None = None,
                  registry: HandlerRegistry | None = None):
         self.spark = spark
@@ -262,6 +287,10 @@ class SparkCrawler:
         spark.conf.set("spark.sql.adaptive.enabled",
                        "true" if self.config.adaptive_exec else "false")
         self.registry = registry if registry is not None else default_registry()
+        if web_pages is None and self.config.fetch_mode != "http":
+            raise ValueError(
+                "web_pages is required for fetch_mode='join'; pass "
+                "fetch_mode='http' to crawl through the live fetch stage")
         self.web_pages = web_pages
         self.store = SnapshotStore(os.path.join(workdir, "snapshots"))
         self.crawl_log = AppendLog(os.path.join(workdir, "crawl_log"))
@@ -392,6 +421,7 @@ class SparkCrawler:
         self._apply_changes(df)
         if self._bloom is not None:
             self._bloom.add(self.spark, df.select("url"))
+            self._maybe_rebuild_bloom()
 
     def seed_df(self, urls_df: DataFrame, url_col: str = "url",
                 order_col: str | None = None) -> int:
@@ -482,6 +512,7 @@ class SparkCrawler:
             # missing the just-seeded URLs would mark them "definitively
             # never seen" after resume and re-insert duplicate frontier rows
             self._bloom.add(self.spark, inc.select("url"))
+            self._maybe_rebuild_bloom()
         self._commit_snapshot()  # writes parquet (incl. bloom), rebases onto it
         inc.unpersist()
         return total
@@ -666,19 +697,38 @@ class SparkCrawler:
                         .withColumn("robots_req_err", F.lit(False))
                         .withColumn("robots_allowed", F.lit(True)))
 
-        # --- fetch join (J5/S4) — production: mapInPandas HTTP stage -------
-        # The batch (politeness-budget bounded) is broadcast INTO the web
-        # table: one streaming scan of web_pages per cycle, bodies never
-        # shuffled or broadcast. URLs absent from the web surface as
-        # f_status NULL → REQUEST_ERROR (connection-failure analog).
-        pages = self.web_pages.select(
-            "url",
-            F.col("status_code").alias("f_status"),
-            F.col("content_type").alias("f_content_type"),
-            F.col("location").alias("f_location"),
-            F.col("body").alias("f_body"),
-        )
-        found = pages.join(F.broadcast(batch_df), "url", "inner").persist()
+        # --- fetch stage (J5/S4) -------------------------------------------
+        if cfg.fetch_mode == "http":
+            # live fetch: only robots-allowed rows hit the network (denied
+            # rows short-circuit to ROBOTS_NOT_ALLOWED in the outcome fold);
+            # failed fetches (NULL status) drop out of `found` so the
+            # results left-join yields f_status NULL → REQUEST_ERROR,
+            # exactly like a URL absent from the join-mode web table
+            from . import webfetch as _wf
+            to_fetch = (batch_df
+                        .filter(F.col("robots_allowed").eqNullSafe(F.lit(True)))
+                        .select("batch_idx", "url"))
+            fetched = _wf.fetch_stage(
+                to_fetch, user_agent=cfg.user_agent, follow_redirects=False,
+                timeout_s=cfg.fetch_timeout_s, request_opts=cfg.request_opts,
+                transport=cfg.fetch_transport)
+            found = (fetched.filter(F.col("f_status").isNotNull())
+                     .join(F.broadcast(batch_df), ["batch_idx", "url"],
+                           "inner").persist())
+        else:
+            # offline fetch join: the batch (politeness-budget bounded) is
+            # broadcast INTO the web table: one streaming scan of web_pages
+            # per cycle, bodies never shuffled or broadcast. URLs absent
+            # from the web surface as f_status NULL → REQUEST_ERROR
+            # (connection-failure analog).
+            pages = self.web_pages.select(
+                "url",
+                F.col("status_code").alias("f_status"),
+                F.col("content_type").alias("f_content_type"),
+                F.col("location").alias("f_location"),
+                F.col("body").alias("f_body"),
+            )
+            found = pages.join(F.broadcast(batch_df), "url", "inner").persist()
         if self.plan_sink is not None:
             self.plan_sink["fetch_join"] = plan_str(found)
 
@@ -917,6 +967,7 @@ class SparkCrawler:
         stats.dedup_hits = int(n_links - n_new)
         if self._bloom is not None and n_new and new_rows is not None:
             self._bloom.add(self.spark, new_rows.select("url"))
+            self._maybe_rebuild_bloom()
         ph.mark('seq_agg')
         kernel_out.unpersist()
         found.unpersist()
@@ -951,6 +1002,25 @@ class SparkCrawler:
         if self._bloom is not None:
             self._bloom.release()  # drop the final cycle's flagged persist
         return out
+
+    def _maybe_rebuild_bloom(self) -> None:
+        """Capacity planning (run after every bloom add): when the analytic
+        FPR estimate crosses config.bloom_rebuild_fpr the filter has
+        saturated — rebuild at 2× partitions/bits from the frontier (the
+        authoritative seen set), doubling until the estimate clears the
+        threshold (bounded at 8 doublings). Dedup results are unchanged
+        either way (the Bloom is only ever a prefilter over an exact
+        verify); saturation costs throughput, not correctness."""
+        cfg = self.config
+        if self._bloom is None or cfg.bloom_rebuild_fpr is None:
+            return
+        for _ in range(8):
+            if self._bloom.fp_rate_estimate() <= cfg.bloom_rebuild_fpr:
+                return
+            grown = self._bloom.grown_empty(2)
+            grown.add(self.spark, self.frontier.select("url"))
+            self._bloom.release()
+            self._bloom = grown
 
     def _assign_seq_distributed(self, links: DataFrame) -> DataFrame:
         """Dense seq assignment for a huge link cycle WITHOUT a
@@ -1233,7 +1303,10 @@ class SparkCrawler:
     def _fetch_with_redirects(self, urls: list[str]) -> dict:
         """Resolve each URL to a final (status, body), following 3xx up to
         max_redirect_hops (robots fetch uses followRedirect=true —
-        Crawler.js:380-412). Small driver-side dimension fetch."""
+        Crawler.js:380-412). Small driver-side dimension fetch (robots URLs
+        are one per unique batch host — batch-bounded)."""
+        if self.config.fetch_mode == "http":
+            return self._fetch_with_redirects_http(urls)
         result: dict[str, tuple[int, bytes] | None] = {}
         pending = {u: u for u in urls}  # original → current
         for _ in range(self.config.max_redirect_hops):
@@ -1258,6 +1331,47 @@ class SparkCrawler:
                     nxt[orig] = urls_mod.resolve(cur, r["location"])
                 else:
                     result[orig] = (int(r["status_code"]), r["body"])
+            pending = nxt
+        for orig in pending:
+            result[orig] = None  # redirect loop → request error
+        return result
+
+    def _fetch_with_redirects_http(self, urls: list[str]) -> dict:
+        """HTTP twin of _fetch_with_redirects for fetch_mode="http": the
+        same hop-following loop, but each hop goes through the configured
+        transport (reference robots fetch, followRedirect=true —
+        Crawler.js:445-502). Driver-side: robots URLs are a batch-bounded
+        host dimension, exactly as the reference fetches them."""
+        from . import webfetch as _wf
+        cfg = self.config
+        tp = cfg.fetch_transport or _wf._default_transport
+        session = None
+        if cfg.fetch_transport is None:
+            import requests
+            session = requests.Session()
+        ua_fn = cfg.user_agent if callable(cfg.user_agent) else None
+        result: dict[str, tuple[int, bytes] | None] = {}
+        pending = {u: u for u in urls}
+        for _ in range(cfg.max_redirect_hops):
+            if not pending:
+                break
+            nxt: dict[str, str] = {}
+            for orig, cur in pending.items():
+                ua = ua_fn(cur) if ua_fn is not None else cfg.user_agent
+                options = _wf.merge_request_options(
+                    {"headers": {"User-Agent": ua},
+                     "allow_redirects": False,
+                     "timeout": cfg.fetch_timeout_s},
+                    cfg.request_opts)
+                try:
+                    status, _ct, loc, body = tp(session, cur, options)
+                except Exception:
+                    result[orig] = None
+                    continue
+                if 300 <= status < 400 and loc:
+                    nxt[orig] = urls_mod.resolve(cur, loc)
+                else:
+                    result[orig] = (int(status), body)
             pending = nxt
         for orig in pending:
             result[orig] = None  # redirect loop → request error
@@ -1289,6 +1403,8 @@ class SparkCrawler:
             "robots_denied": stats.robots_denied,
             "errors": stats.errors,
             "cycle_time": self.cycle_time,
+            "bloom_fpr_est": (self._bloom.fp_rate_estimate()
+                              if self._bloom is not None else None),
         })
 
     def _flush_logs(self) -> None:

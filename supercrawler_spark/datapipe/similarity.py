@@ -163,6 +163,109 @@ def ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                   .select("q_id", "n_id", "cos", "rank"))
 
 
+def det_ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     centroid_ids: tuple = tuple(range(16)), n_probe: int = 4,
+                     round_to: int = 4, quant_scale: float = 1000.0) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC sampled-centroid coarse quantizer: the
+    centroids are the embeddings of ``centroid_ids`` (a fixed-seed k-means
+    init, skipping Lloyd iterations), quantized to integers
+    (floor(|x|*scale+0.5), ties-away-from-zero — identical to SQL round),
+    so bucket assignment is EXACT integer L2 arithmetic that an ANSI-SQL
+    oracle replays bit-for-bit (det_ivf_oracle_sql). Same probe shape as
+    ivf_ann_topk: corpus rows assign to their nearest centroid, queries
+    probe their ``n_probe`` nearest, exact cosine re-ranks the probed
+    buckets — the probed fraction is n_probe/len(centroid_ids) of the
+    corpus, never an all-pairs join. Ties in the assignment distance break
+    by centroid index (stable argsort == SQL ORDER BY d2, cid)."""
+    cent_rows = (df.filter(F.col(id_col).isin(list(centroid_ids)))
+                 .select(id_col, vec_col).orderBy(id_col).collect())
+    cmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in cent_rows])
+    centers = (np.sign(cmat) *
+               np.floor(np.abs(cmat) * quant_scale + 0.5)).astype(np.int64)
+
+    def make_bucket_udf(top_n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def buckets(vecs: pd.Series) -> pd.Series:
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            qm = (np.sign(mat) *
+                  np.floor(np.abs(mat) * quant_scale + 0.5)).astype(np.int64)
+            d2 = ((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :top_n]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+        return buckets
+
+    assign1 = make_bucket_udf(1)
+    assignp = make_bucket_udf(n_probe)
+    c = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                  F.explode(assign1(F.col(vec_col))).alias("bucket"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.explode(assignp(F.col(vec_col))).alias("bucket"))
+    cand = (q.join(c, "bucket")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .select("q_id", "q_vec", "n_id", "n_vec"))
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))
+
+
+def det_ivf_oracle_sql(centroid_ids: tuple = tuple(range(16)),
+                       n_probe: int = 4, k: int = 5,
+                       query_pred: str = "vec_id < 20",
+                       table: str = "embeddings") -> str:
+    """ANSI-SQL twin of det_ivf_ann_topk: quantizes identically
+    (round(x*1000) — integers stay exact in DOUBLE), ranks centroids by
+    exact integer L2 with the same (d2, cid) tie-break, probes the same
+    buckets, re-ranks by the same 4dp cosine."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1000)::BIGINT) AS q
+          FROM {table}
+        ),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+          FROM emb WHERE vec_id IN ({ids})
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.q, e.q) + list_dot_product(c.cq, c.cq)
+                   - 2 * list_dot_product(e.q, c.cq), c.cid) AS rk
+          FROM emb e CROSS JOIN cent c
+        ),
+        corpus AS (SELECT vec_id AS n_id, cid AS bucket
+                   FROM ranked WHERE rk = 1),
+        probes AS (SELECT vec_id AS q_id, cid AS bucket
+                   FROM ranked WHERE rk <= {n_probe} AND {query_pred}),
+        cand AS (
+          SELECT p.q_id, c.n_id FROM probes p JOIN corpus c USING (bucket)
+          WHERE p.q_id != c.n_id
+        ),
+        scored AS (
+          SELECT q_id, n_id,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+          FROM cand
+          JOIN emb a ON a.vec_id = cand.q_id
+          JOIN emb b ON b.vec_id = cand.n_id
+        )
+        SELECT q_id, n_id, cos, rank FROM (
+          SELECT *, row_number() OVER
+                 (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # deterministic sign-projection LSH (oracle-replayable, all-JVM)
 # ---------------------------------------------------------------------------

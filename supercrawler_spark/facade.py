@@ -263,14 +263,18 @@ class Crawler:
                 # another event callback, must still receive real link
                 # lists); checked each cycle, flips the shared engine config
                 self._config.collect_links = True
-            before = len(eng.crawl_order)
             stats = eng.run_cycle()
             if stats.popped:
                 n_work += 1
-                for _, _, url in eng.crawl_order[before:]:
-                    self._emit("crawlurl", url)
+                # per-URL interleaving in batch_idx (pick) order — the
+                # reference emits crawlurl as each URL is picked
+                # (Crawler.js:222) and crawledurl as it completes
+                # (Crawler.js:316); the deterministic serialization of a
+                # batch-atomic cycle is the full crawlurl→…→crawledurl
+                # event group per URL, not batch-grouped phases
                 for r in sorted(stats.results, key=lambda r: r["batch_idx"]):
-                    # per-URL event order mirrors _processUrl
+                    self._emit("crawlurl", r["url"])
+                    # processing events mirror _processUrl
                     # (Crawler.js:216-320): redirect/handlersError/httpError
                     # fire during processing, links after handler success,
                     # crawledurl last

@@ -284,3 +284,40 @@ def test_decay_resume_and_table_carried_host_state(spark, small_web):
     a = c_a.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
     b = c_b2.frontier_pdf()[cols].sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+def _stub_transport_from_web(web_pdf):
+    """Picklable stub transport serving the fixture web — the http-mode
+    analog of the fetch join's web_pages lookup. Raises on unknown URLs
+    (connection failure), returns (status, content_type, location, body)
+    otherwise."""
+    pages = {rec["url"]: (int(rec["status_code"]), rec.get("content_type"),
+                          rec.get("location"), rec.get("body"))
+             for rec in web_pdf.to_dict("records")}
+
+    def transport(session, url, options):
+        if url not in pages:
+            raise ConnectionError(f"no route to {url}")
+        return pages[url]
+
+    return transport
+
+
+def test_http_fetch_mode_parity(spark, small_web):
+    """fetch_mode="http" driving the full loop through webfetch.fetch_stage
+    (mapInPandas HTTP kernel, stub transport serving the fixture web) must
+    produce an identical crawl to the fetch-join path: same crawl order,
+    same seen set, same final per-url states vs the oracle."""
+    seeds, web_pdf, web_df = small_web
+    transport = _stub_transport_from_web(web_pdf)
+    wd = tempfile.mkdtemp()
+    cfg = CrawlConfig(budget=8, order_mode="random", fetch_mode="http",
+                      fetch_transport=transport)
+    cr_http = SparkCrawler(spark, None, wd, cfg)  # no web table at all
+    cr_http.seed(list(seeds["url"]))
+    cr_http.crawl(max_cycles=100)
+
+    cr_join, res = run_pair(spark, seeds, web_pdf, web_df, budget=8,
+                            mode="random")
+    assert cr_http.crawl_order == cr_join.crawl_order
+    assert cr_http.seen_urls() == cr_join.seen_urls()
+    assert_parity(cr_http, res)

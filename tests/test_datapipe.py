@@ -435,3 +435,42 @@ def test_dup_clusters_nonconvergence_raises(spark):
     # and with enough rounds the same graph converges to one cluster
     got = {r["cluster_id"] for r in dup_clusters(pairs, max_iter=20).collect()}
     assert got == {"d0"}
+
+def test_det_ivf_ann_recall_and_determinism(spark, sf_dir):
+    """Deterministic sampled-centroid IVF (the oracle-replayable variant):
+    recall vs brute force, plus run-to-run determinism."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("embedding")))
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    a = SIM.det_ivf_ann_topk(emb, queries, k=5,
+                             centroid_ids=tuple(range(16)), n_probe=4).collect()
+    b = SIM.det_ivf_ann_topk(emb, queries, k=5,
+                             centroid_ids=tuple(range(16)), n_probe=4).collect()
+    key = lambda rows: sorted((r["q_id"], r["n_id"], r["cos"], r["rank"])
+                              for r in rows)
+    assert key(a) == key(b)
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["n_id"]) for r in a}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"det-IVF recall {recall}"
+
+def test_det_lsh_ann_plan_dedups_on_ids_only(spark, sf_dir):
+    """The ANN candidate distinct must group on (q_id, n_id) only — no
+    embedding arrays riding the dedup exchange (r3 review) — and the
+    vector rejoins must be broadcasts, never sort-merge/cartesian."""
+    import re
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("embedding")))
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = SIM.det_lsh_ann_topk(emb, queries, k=5, dim=64,
+                               n_planes=4, n_tables=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    aggs = re.findall(r"HashAggregate\(keys=\[[^\]]*\]", plan)
+    id_aggs = [a for a in aggs if "q_id" in a and "n_id" in a]
+    assert id_aggs, plan
+    assert all("vec" not in a for a in id_aggs), id_aggs
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -308,3 +308,47 @@ def test_links_listener_registered_after_start_gets_real_links(spark, web_df):
     assert hooked
     # at least one post-registration page reported a NON-empty link list
     assert any(links for _, links in link_payloads), link_payloads
+
+def test_event_interleaving_per_url_budget4(spark, web_df):
+    """Reference emits crawlurl as each URL is picked (Crawler.js:222) and
+    crawledurl as it completes (:316). At budget=4 the facade must emit the
+    full per-URL event group — crawlurl ... crawledurl — in pick order,
+    not batch-grouped phases, and the pair sequence must equal the
+    oracle's pick sequence."""
+    from supercrawler_spark.handlers import default_registry
+    from supercrawler_spark.oracle import (OracleConfig, OracleCrawler,
+                                           web_pages_dict)
+
+    df, web_pdf = web_df
+    events = []
+    crawler = (Crawler(spark, df, interval=1000, concurrent_requests_limit=4,
+                       url_list="db")
+               .add_handler("text/html", html_link_parser())
+               .add_handler("text/plain", robots_parser())
+               .add_handler(["application/xml", "text/xml",
+                             "application/x-gzip", "application/gzip"],
+                            sitemaps_parser()))
+    crawler.on("crawlurl", lambda u: events.append(("crawlurl", u)))
+    crawler.on("crawledurl",
+               lambda u, ec, sc, em: events.append(("crawledurl", u)))
+    seeds = ["http://host0.example/index.html",
+             "http://host1.example/index.html"]
+    for s in seeds:
+        crawler.queue_url(s)
+    crawler.start(max_cycles=50)
+
+    # strict per-URL interleaving: (crawlurl u)(crawledurl u) pairs
+    assert events and len(events) % 2 == 0
+    for i in range(0, len(events), 2):
+        assert events[i][0] == "crawlurl"
+        assert events[i + 1][0] == "crawledurl"
+        assert events[i][1] == events[i + 1][1]
+
+    # and the pair order IS the oracle's pick order
+    ora = OracleCrawler(web_pages_dict(web_pdf),
+                        OracleConfig(budget=4, order_mode="random"),
+                        registry=default_registry())
+    ora.seed(seeds)
+    res = ora.crawl(max_rounds=50)
+    assert [u for e, u in events if e == "crawlurl"] == \
+        [u for _, _, u in res.crawl_order]

@@ -60,3 +60,47 @@ def test_merge_delta_is_batch_sized(cycle_plans):
     p = cycle_plans["merge"]
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+@pytest.fixture(scope="module")
+def http_cycle_plans(spark):
+    """Same cycle, fetch_mode="http" through the mapInPandas HTTP kernel
+    (stub transport serving the fixture web)."""
+    seeds, web, _ = fixtures.make_web_fixture(n_hosts=2, pages_per_host=3)
+    pages = {rec["url"]: (int(rec["status_code"]), rec.get("content_type"),
+                          rec.get("location"), rec.get("body"))
+             for rec in web.to_dict("records")}
+
+    def transport(session, url, options):
+        if url not in pages:
+            raise ConnectionError(url)
+        return pages[url]
+
+    cr = SparkCrawler(spark, None, tempfile.mkdtemp(),
+                      CrawlConfig(budget=6, order_mode="random",
+                                  robots_enabled=False, fetch_mode="http",
+                                  fetch_transport=transport))
+    cr.seed_df(spark.createDataFrame(
+        [(u,) for u in sorted(set(seeds["url"]))], ["url"]))
+    sink = {}
+    cr.plan_sink = sink
+    stats = cr.run_cycle()
+    assert stats.popped > 0
+    return sink
+
+
+def test_http_fetch_stage_is_arrow_kernel(http_cycle_plans):
+    """fetch_mode="http": the fetch is a MapInPandas stage over the
+    politeness-budget batch, rejoined to the batch by broadcast — never a
+    shuffle or sort-merge."""
+    p = http_cycle_plans["fetch_join"]
+    assert re.search(r"MapInPandas", p), p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_http_cycle_dedup_and_merge_shapes_unchanged(http_cycle_plans):
+    """The rest of the cycle keeps the join-mode plan shapes under
+    fetch_mode="http"."""
+    assert "SortMergeJoin" not in http_cycle_plans["dedup"]
+    assert "SortMergeJoin" not in http_cycle_plans["merge"]
+    assert "CartesianProduct" not in http_cycle_plans["merge"]
