@@ -561,6 +561,63 @@ class CuckooFilter:
         placed[order] = can
         return placed
 
+    def delete_batch(self, hs: np.ndarray) -> int:
+        """Vectorized batch delete — the mirror of ``add_batch``: each key
+        clears one slot holding its fingerprint (first bucket then the
+        alternate), with in-batch duplicates clearing distinct slots via
+        the same (bucket, fp)-run ranking. Returns keys deleted."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        if not len(hs):
+            return 0
+        nb = np.uint64(self.n_buckets)
+        pow2 = (self.n_buckets & (self.n_buckets - 1)) == 0
+        bmask = np.uint64(self.n_buckets - 1)
+
+        def _reduce(x: np.ndarray) -> np.ndarray:
+            return (x & bmask) if pow2 else (x % nb)
+
+        fp = ((hs >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = _reduce(hs).astype(np.int64)
+        i2 = _reduce(i1.astype(np.uint64)
+                     ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995))
+                     ).astype(np.int64)
+        pending = np.arange(len(hs))
+        n_ok = 0
+        for buckets in (i1, i2):
+            if not len(pending):
+                break
+            cleared = self._scatter_clear(buckets[pending], fp[pending])
+            n_ok += int(cleared.sum())
+            pending = pending[~cleared]
+        return n_ok
+
+    def _scatter_clear(self, buckets: np.ndarray,
+                       fps: np.ndarray) -> np.ndarray:
+        """Clear, per (bucket, fp) key, the rank-th slot currently holding
+        that fingerprint (rank = position within the equal-(bucket, fp)
+        run), so duplicate keys in one batch clear distinct slots. Returns
+        the cleared mask."""
+        n = len(buckets)
+        order = np.lexsort((fps, buckets))
+        b, f = buckets[order], fps[order]
+        idx = np.arange(n)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.not_equal(b[1:], b[:-1], out=first[1:])
+        first[1:] |= f[1:] != f[:-1]
+        rank = idx - np.maximum.accumulate(np.where(first, idx, 0))
+        match = self.slots[b] == f[:, None]               # (n, 4)
+        n_match = match.sum(axis=1)
+        can = rank < n_match
+        cum = match.cumsum(axis=1)
+        target = (cum == (rank + 1)[:, None]) & match
+        slot_idx = target.argmax(axis=1)
+        self.slots[b[can], slot_idx[can]] = 0
+        cleared = np.zeros(n, dtype=bool)
+        cleared[order] = can
+        return cleared
+
     def contains(self, h: int) -> bool:
         fp = self._fingerprint(h)
         i1, i2 = self._buckets(h)
@@ -658,9 +715,7 @@ class PartitionedCuckoo:
                 # keys whose candidate buckets are full (cuckoo kicks)
                 n_ok = cf.add_batch(hs)
             else:
-                n_ok = 0
-                for h in hs:
-                    n_ok += bool(cf.delete(int(h)))
+                n_ok = cf.delete_batch(hs)
             return pd.DataFrame({"pid": [pid], "slots": [cf.slots.tobytes()],
                                  "n_ok": [n_ok]})
 
