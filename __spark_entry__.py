@@ -447,6 +447,30 @@ def q_multimodal_decode(spark, sf_dir):
     return MM.decode_features(images).orderBy("image_id")
 
 
+def q_image_phash_dup_pairs(spark, sf_dir):
+    """Image-axis near-dup dedup (input_hint phash:int64 made first-class):
+    64-bit perceptual-hash banded hamming pairs over a deterministic
+    synthetic image table with a planted noisy re-encode — the shared
+    pigeonhole kernel of simhash_near_pairs at bits=64 (rows-only; planted
+    -pair + brute-force-completeness invariants pinned in pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    from supercrawler_spark import fixtures, imaging
+    from supercrawler_spark.datapipe import multimodal as MM
+    images = fixtures.make_images(32, seed=42)
+    rng = np.random.default_rng(7)
+    px, w, h, _ = imaging.decode_image(bytes(images.iloc[0]["bytes"]))
+    noisy = np.clip(px.astype(np.int64) + rng.integers(-2, 3, px.shape),
+                    0, 255).astype(np.uint8)
+    dup = {"image_id": "img-dup0", "bytes": imaging.encode_image(noisy, "png"),
+           "w": w, "h": h, "fmt": "png", "caption": "noisy copy",
+           "phash": imaging.phash64(noisy)}
+    pdf = pd.concat([images, pd.DataFrame([dup])], ignore_index=True)
+    return (MM.phash_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
+            .orderBy("id_a", "id_b"))
+
+
 def q_multimodal_verify(spark, sf_dir):
     """Per-row payload invariant: PSNR>=40dB / exact + caption equality."""
     from supercrawler_spark import fixtures
@@ -726,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_verify": q_multimodal_verify,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "image_phash_dup_pairs": q_image_phash_dup_pairs,
     }
 
 

@@ -528,6 +528,14 @@ class SparkCrawler:
             "num_errors": 0, "next_fetch_time": nft, "seq": seq,
         }
 
+    def frontier_as_of(self, version: int) -> DataFrame | None:
+        """Time-travel read of the frontier at a committed snapshot
+        version (the Iceberg `VERSION AS OF` analog): audit what the crawl
+        had seen/scheduled as of an earlier commit without touching the
+        live LSM view. Versions older than the store's keep_last are GC'd;
+        ``self.store.versions()`` lists what is retained."""
+        return self.store.load_as_of(self.spark, "frontier", version)
+
     def resume(self) -> bool:
         """Restart from the last committed snapshot (north_rule checkpoint
         requirement). Returns True if a snapshot was found."""

@@ -212,40 +212,56 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     joined (never the O(n^2) pair space). Note the chunk width shrinks as h
     grows (60/(h+1) bits → more collisions to verify); brute-force
     completeness is pinned by tests/test_datapipe.py."""
-    if not 0 <= max_hamming < SIMHASH_BITS:
-        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
-    n_chunks = max_hamming + 1
-    defs = _chunk_defs(SIMHASH_BITS, n_chunks)
-    # materialize the signature table before the self-join: it is tiny
-    # (n rows x 16 bytes) but Spark plans NO exchange reuse across the two
-    # join sides, so without this the 61-column token aggregation — the
-    # dominant cost — runs twice (plan showed 2 scans + 6 HashAggregates)
-    sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    # delegates to the generic banded hamming kernel; the signature table
+    # is materialized inside it before the self-join (tiny — n rows x 16
+    # bytes — but Spark plans NO exchange reuse across the two join sides,
+    # so without it the 61-column token aggregation, the dominant cost,
+    # runs twice), and the bit_count verify runs BEFORE the distinct so
+    # the dedup exchange is O(result), not O(collisions)
+    return hamming_near_pairs(simhash(df, text_col, id_col), "simhash",
+                              id_col, SIMHASH_BITS, max_hamming)
+
+
+def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
+                       bits: int, max_hamming: int,
+                       out_a: str = "id_a", out_b: str = "id_b") -> DataFrame:
+    """Generic banded hamming-distance near-pair join over ANY integer
+    signature column (``bits`` wide, stored in a signed 64-bit column):
+    the pigeonhole-complete chunk scheme of ``simhash_near_pairs``
+    generalized — ``max_hamming + 1`` bit-chunks, a pair within distance h
+    matches at least one chunk exactly, so candidates are bucket
+    collisions only (never O(n²)); a codegen'd bit_count verify runs
+    BEFORE the distinct so the dedup exchange is O(result).
+
+    This is the shared kernel for 60-bit text SimHash and 64-bit image
+    perceptual hashes (multimodal.phash_dup_pairs): near-duplicate IMAGE
+    detection at corpus scale uses exactly the same plan shape as text
+    near-dup — banded equi-join + cheap verify."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, {bits - 1}]")
+    defs = _chunk_defs(bits, max_hamming + 1)
+    sig = df.select(F.col(id_col).alias("_id"),
+                    F.col(sig_col).alias("_sig")).localCheckpoint(eager=True)
     chunk_structs = [
         F.struct(F.lit(c).alias("chunk_idx"),
-                 (F.shiftrightunsigned(F.col("simhash"), off)
+                 (F.shiftrightunsigned(F.col("_sig"), off)
                   .bitwiseAND(F.lit((1 << w) - 1))).alias("chunk_val"))
         for c, (off, w) in enumerate(defs)
     ]
     exploded = sig.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*chunk_structs)).alias("ch"))
+        "_id", "_sig", F.explode(F.array(*chunk_structs)).alias("ch"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (a.join(b, (F.col("a.ch") == F.col("b.ch"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.simhash").alias("sh_a"),
-                      F.col("b.simhash").alias("sh_b")))
-    # verify BEFORE dedup: bit_count is a codegen'd no-shuffle filter, so
-    # running it on the raw (duplicate-bearing) collision stream and
-    # deduping only the surviving true near-pairs keeps the distinct's
-    # exchange at O(result) instead of O(collisions) — at h=8 the 9 narrow
-    # chunks collide often and this is the dominant cost
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+                   & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias(out_a),
+                      F.col("b._id").alias(out_b),
+                      F.col("a._sig").alias("_sig_a"),
+                      F.col("b._sig").alias("_sig_b")))
+    hamming = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))) \
+               .cast("long")
     return (cand.withColumn("hamming", hamming)
                 .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming")
+                .select(out_a, out_b, "hamming")
                 .distinct())
 
 

@@ -59,6 +59,31 @@ def decode_features(df: DataFrame, id_col: str = "image_id",
     return df.select(id_col, bytes_col).mapInPandas(kernel, schema=DECODE_SCHEMA)
 
 
+def phash_dup_pairs(df: DataFrame, id_col: str = "image_id",
+                    bytes_col: str = "bytes", max_hamming: int = 6,
+                    phash_col: str | None = None) -> DataFrame:
+    """Near-duplicate IMAGE detection at corpus scale — the image-axis
+    twin of text SimHash dedup (input_hint's phash:int64 column made
+    first-class): decode → 64-bit perceptual hash (one mapInPandas pass,
+    corrupt rows dropped) → banded hamming join via the shared
+    pigeonhole-complete kernel (datapipe.dedup.hamming_near_pairs), so
+    candidates are chunk-collision buckets only, never O(n²) image pairs,
+    and the verify is a codegen'd bit_count.
+
+    Pass ``phash_col`` to skip the decode when the table already carries
+    precomputed perceptual hashes (the input_hint schema) — then the
+    whole operator is pure JVM."""
+    from . import dedup as _dd
+    if phash_col is not None:
+        sigs = df.select(F.col(id_col), F.col(phash_col).alias("phash"))
+    else:
+        sigs = (decode_features(df, id_col=id_col, bytes_col=bytes_col)
+                .filter(F.col("decode_error").isNull())
+                .select(id_col, "phash"))
+    return _dd.hamming_near_pairs(sigs, "phash", id_col,
+                                  bits=64, max_hamming=max_hamming)
+
+
 VERIFY_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("psnr_db", T.DoubleType()),

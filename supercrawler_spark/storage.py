@@ -67,9 +67,44 @@ class SnapshotStore:
             "tables": paths,
             "meta": meta or {},
         }
+        # per-version manifest copy inside the version dir: makes every
+        # retained snapshot self-describing, so time-travel reads
+        # (load_as_of) work without a central history log — the Iceberg
+        # snapshot-metadata analog
+        with open(os.path.join(vdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
         self._write_manifest(manifest)
         self._gc(version, keep_last)
         return version
+
+    # -- time travel -------------------------------------------------------
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, oldest first (older ones are GC'd
+        by keep_last at commit time)."""
+        out = []
+        for entry in os.listdir(self.root):
+            if entry.startswith("v") and entry[1:].isdigit() and \
+                    os.path.exists(os.path.join(self.root, entry,
+                                                "manifest.json")):
+                out.append(int(entry[1:]))
+        return sorted(out)
+
+    def manifest_as_of(self, version: int) -> dict | None:
+        path = os.path.join(self.root, f"v{version:06d}", "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def load_as_of(self, spark: SparkSession, name: str,
+                   version: int) -> DataFrame | None:
+        """Read table ``name`` AS OF a retained snapshot version — the
+        Iceberg time-travel analog (`VERSION AS OF`). Returns None if the
+        version was GC'd or never carried that table."""
+        m = self.manifest_as_of(version)
+        if m is None or name not in m.get("tables", {}):
+            return None
+        return spark.read.parquet(m["tables"][name])
 
     def _gc(self, current: int, keep_last: int) -> None:
         for entry in os.listdir(self.root):

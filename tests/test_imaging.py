@@ -52,3 +52,72 @@ def test_phash_properties():
     # and far for a different image
     other = imaging.phash64(imaging.synth_pixels("img-9999", 40, 40))
     assert imaging.hamming64(h1, other) > 10
+
+def test_hamming_near_pairs_generic_64bit_completeness(spark):
+    """The generic banded hamming kernel at bits=64 (the phash width):
+    banded result == brute force, including planted near pairs and signed
+    int64 signatures (top bit set)."""
+    import numpy as np
+
+    from supercrawler_spark.datapipe import dedup as DD
+
+    rng = np.random.default_rng(5)
+    sigs = list(rng.integers(-2**63, 2**63 - 1, size=40, dtype=np.int64))
+    # planted: flip <=6 bits of sig[0] and sig[1]
+    for base, flips in ((0, 3), (1, 6)):
+        v = int(sigs[base])
+        for bit in rng.choice(64, size=flips, replace=False):
+            v ^= 1 << int(bit)
+        v &= (1 << 64) - 1
+        sigs.append(np.int64(v - (1 << 64) if v >= (1 << 63) else v))
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "id long, sig long")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           DD.hamming_near_pairs(df, "sig", "id", bits=64,
+                                 max_hamming=6).collect()}
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    want = {(i, j, ham(sigs[i], sigs[j]))
+            for i in range(len(sigs)) for j in range(i + 1, len(sigs))
+            if ham(sigs[i], sigs[j]) <= 6}
+    assert got == want
+    assert (0, 40, 3) in got and (1, 41, 6) in got
+
+
+def test_phash_dup_pairs_finds_planted_image_near_dup(spark):
+    """Image-axis near-dup dedup: a lightly-noised re-encode of an image
+    must surface as a phash near pair (both the decode path and the
+    precomputed-phash pure-JVM path), distinct images must not."""
+    import numpy as np
+    import pandas as pd
+
+    from supercrawler_spark import fixtures, imaging
+    from supercrawler_spark.datapipe import multimodal as MM
+
+    images = fixtures.make_images(10)
+    rng = np.random.default_rng(3)
+    px, w, h, _ = imaging.decode_image(bytes(images.iloc[0]["bytes"]))
+    noisy = np.clip(px.astype(np.int64) + rng.integers(-2, 3, px.shape),
+                    0, 255).astype(np.uint8)
+    dup = {
+        "image_id": "img-dup", "bytes": imaging.encode_image(noisy, "png"),
+        "w": w, "h": h, "fmt": "png", "caption": "noisy copy",
+        "phash": imaging.phash64(noisy),
+    }
+    pdf = pd.concat([images, pd.DataFrame([dup])], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    # both paths must surface the planted pair as the closest pair; exact
+    # hamming values may differ between them for jpeg rows (the
+    # precomputed column hashes pre-encode pixels, the decode path hashes
+    # the lossy round-trip — both are correct hashes of "the image")
+    for kwargs in ({}, {"phash_col": "phash"}):
+        pairs = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                 MM.phash_dup_pairs(df, max_hamming=10, **kwargs).collect()}
+        assert any(a == "img-0000" and b == "img-dup" for a, b, _ in pairs)
+        planted_h = next(h for a, b, h in pairs
+                         if a == "img-0000" and b == "img-dup")
+        others = [h for a, b, h in pairs if b != "img-dup"]
+        assert all(planted_h <= h for h in others), (planted_h, others)

@@ -155,3 +155,42 @@ def test_seed_df_then_resume_keeps_bloom_complete(spark):
     n_rows = c2.frontier.count()
     n_urls = c2.frontier.select("url").distinct().count()
     assert n_rows == n_urls
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analog: each retained snapshot is
+    self-describing (per-version manifest), load_as_of reads an older
+    frontier than the live one, GC'd versions return None, and the
+    engine's frontier_as_of surfaces it."""
+    from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
+    from supercrawler_spark.storage import SnapshotStore
+
+    # store-level: three commits, read the middle one back
+    st = SnapshotStore(str(tmp_path / "snaps"))
+    for i in range(3):
+        df = spark.createDataFrame([(i, f"row{i}")], "v int, s string")
+        st.commit({"t": df}, meta={"i": i}, keep_last=2)
+    assert st.versions() == [1, 2]          # v0 GC'd by keep_last=2
+    assert st.load_as_of(spark, "t", 0) is None
+    mid = st.load_as_of(spark, "t", 1).collect()
+    assert [(r["v"], r["s"]) for r in mid] == [(1, "row1")]
+    assert st.manifest_as_of(1)["meta"] == {"i": 1}
+
+    # engine-level: the frontier at an earlier committed version has
+    # fewer URLs than the live view after more crawling
+    web_df = spark.createDataFrame(
+        [(f"http://h0.example/p{i}", 200, "text/html", None,
+          f"<a href='/p{i+1}'>n</a>".encode()) for i in range(12)],
+        "url string, status_code int, content_type string, "
+        "location string, body binary")
+    cr = SparkCrawler(spark, web_df, str(tmp_path / "wd"),
+                      CrawlConfig(budget=2, order_mode="fifo",
+                                  robots_enabled=False,
+                                  checkpoint_every=2))
+    cr.seed(["http://h0.example/p0"])
+    cr.crawl(max_cycles=8)
+    versions = cr.store.versions()
+    assert len(versions) >= 2
+    old = cr.frontier_as_of(versions[0])
+    assert old is not None
+    n_old, n_live = old.count(), cr.frontier.count()
+    assert n_old < n_live
