@@ -162,6 +162,10 @@ class Crawler:
                 kw["recrawl_ms"] = 30 * 86400000.0
         if user_agent is not None:
             kw["user_agent"] = user_agent  # str or callable url -> str
+        if request:
+            # consumed by webfetch.fetch_stage when fetch_mode="http"
+            # (engine_opts may still override explicitly)
+            kw["request_opts"] = request
         kw.update(engine_opts)
         self._config = CrawlConfig(**kw)
         self._registry = HandlerRegistry()

@@ -352,3 +352,35 @@ def test_event_interleaving_per_url_budget4(spark, web_df):
     res = ora.crawl(max_rounds=50)
     assert [u for e, u in events if e == "crawlurl"] == \
         [u for _, _, u in res.crawl_order]
+
+def test_facade_http_fetch_mode_end_to_end(spark, web_df):
+    """The reference-shaped facade can run the live-fetch path: no web
+    table at all, fetch_mode="http" + stub transport via engine opts,
+    request options forwarded to the fetch stage's option merge."""
+    df, web_pdf = web_df
+    pages = {rec["url"]: (int(rec["status_code"]), rec.get("content_type"),
+                          rec.get("location"), rec.get("body"))
+             for rec in web_pdf.to_dict("records")}
+    seen_opts = []
+
+    def transport(session, url, options):
+        seen_opts.append(options)
+        if url not in pages:
+            raise ConnectionError(url)
+        return pages[url]
+
+    crawler = (Crawler(spark, None, concurrent_requests_limit=4,
+                       request={"headers": {"X-Custom": "yes"}},
+                       fetch_mode="http", fetch_transport=transport)
+               .add_handler("text/html", html_link_parser()))
+    crawled = []
+    crawler.on("crawledurl", lambda u, ec, sc_, em: crawled.append(u))
+    crawler.queue_url("http://host0.example/index.html")
+    crawler.start(max_cycles=30)
+    assert len(crawled) > 3          # link discovery worked over HTTP
+    assert crawler.engine.config.request_opts == {
+        "headers": {"X-Custom": "yes"}}
+    # the custom header deep-merged into every request's options
+    assert seen_opts and all(
+        o["headers"].get("X-Custom") == "yes" for o in seen_opts)
+    assert all("User-Agent" in o["headers"] for o in seen_opts)
