@@ -37,7 +37,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GATE = 0.90
+GATE = 0.90          # an attempt is QUALIFIED iff min(cal) >= this
+ATTEMPT_FLOOR = 0.78  # but measure whenever the box grants at least this:
+# on a night where the hypervisor never reaches 0.9 (r3 saw 0.61-0.89 all
+# night) the near-qualified pairs + calibration-normalized figures are the
+# best available evidence, and they cost only quiet-ish windows
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SMALL = max(2, CPUS // 4)
 LOG = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
@@ -95,10 +99,13 @@ def main() -> None:
     successes = 0
     while time.time() < deadline and successes < target:
         if other_jvms():
+            print(json.dumps({"gate": "jvms_running"}), flush=True)
             time.sleep(60)
             continue
         cal_before = calibrate()
-        if cal_before < GATE:
+        if cal_before < ATTEMPT_FLOOR:
+            print(json.dumps({"gate": "cal_low", "cal": cal_before}),
+                  flush=True)
             time.sleep(45)
             continue
         try:
@@ -110,6 +117,7 @@ def main() -> None:
             continue
         cal_after = calibrate()
         eff = round(small["wall_s"] / big["wall_s"] / (CPUS / N_SMALL), 3)
+        cal_mean = (cal_before + cal_after) / 2.0
         rec = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "cal_before": cal_before, "cal_after": cal_after,
@@ -120,6 +128,11 @@ def main() -> None:
             "walls_big": big.get("walls_s"),
             "pages": big.get("pages"),
             "efficiency_n_to_4n": eff,
+            # how the pair scaled RELATIVE to what the box granted raw
+            # CPU during the same window (reporting aid, never the
+            # headline number)
+            "efficiency_normalized_by_host": round(eff / cal_mean, 3)
+            if cal_mean > 0 else None,
             "qualified": min(cal_before, cal_after) >= GATE,
             "scale": int(os.environ.get("SC_CYCLE_SCALE", "1")),
         }
