@@ -387,3 +387,37 @@ def test_engine_rebuilds_saturated_bloom(spark, tmp_path):
     # dedup still exact after the rebuild: re-seeding adds nothing
     cr.seed(urls)
     assert len(cr.seen_urls()) == 3000
+
+def test_cuckoo_batch_ops_equal_sequential_property():
+    """Property: any interleaving of batch add/delete produces the same
+    membership answers as the sequential kernel (hypothesis over key sets
+    and op order; no Spark involved — this is the per-partition kernel)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supercrawler_spark.bloom import CuckooFilter
+
+    keys = st.lists(st.integers(min_value=1, max_value=2**62),
+                    min_size=1, max_size=300)
+
+    @settings(max_examples=25, deadline=None)
+    @given(add1=keys, dels=keys, add2=keys)
+    def prop(add1, dels, add2):
+        a = CuckooFilter(capacity=1 << 11)
+        b = CuckooFilter(capacity=1 << 11)
+        for h in add1:
+            a.add(int(h))
+        na = sum(bool(a.delete(int(h))) for h in dels)
+        for h in add2:
+            a.add(int(h))
+        nb_added1 = b.add_batch(np.array(add1, dtype=np.uint64))
+        nb = b.delete_batch(np.array(dels, dtype=np.uint64))
+        nb_added2 = b.add_batch(np.array(add2, dtype=np.uint64))
+        assert nb_added1 == len(add1) and nb_added2 == len(add2)
+        assert na == nb
+        probe = set(add1) | set(dels) | set(add2)
+        for h in probe:
+            assert a.contains(int(h)) == b.contains(int(h)), h
+
+    prop()
