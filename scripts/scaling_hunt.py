@@ -109,8 +109,12 @@ def main() -> None:
             time.sleep(45)
             continue
         try:
-            small = worker(f"local[{N_SMALL}]")
+            # wide run FIRST: hypervisor steal hits 32-way runs hardest,
+            # so the steal-sensitive measurement sits closest to the
+            # qualifying cal_before reading; the 8-way run tolerates more
+            # weather drift before cal_after re-qualifies the window
             big = worker(f"local[{CPUS}]")
+            small = worker(f"local[{N_SMALL}]")
         except Exception as exc:  # noqa: BLE001 — keep hunting
             print(json.dumps({"error": str(exc)[:200]}), flush=True)
             time.sleep(30)
