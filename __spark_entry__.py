@@ -395,6 +395,20 @@ def q_repetition_ratio(spark, sf_dir):
     return TX.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity proxy: per-doc mean -log p(token) under the
+    corpus unigram distribution (two-pass corpus-global: vocab agg +
+    rejoin on token; all JVM)."""
+    return TX.unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style corpus-global line dedup: lines appearing in >1
+    distinct documents (nav/footer boilerplate) drop from every document;
+    per-doc ordered reassembly."""
+    return DD.line_dedup(_t(spark, sf_dir, "documents"), max_doc_freq=1)
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
@@ -734,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": q_contamination_screen,
         "quality_gate": q_quality_gate,
         "repetition_ratio": q_repetition_ratio,
+        "unigram_logprob": q_unigram_logprob,
+        "line_dedup": q_line_dedup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1168,6 +1184,50 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text),
                        '[a-z0-9_]+|[^\\sa-z0-9_]'))::BIGINT AS n_pieces
             FROM documents
+        """,
+        # corpus unigram distribution → per-doc mean -ln p(token)
+        "unigram_logprob": f"""
+            WITH tk AS (
+              SELECT doc_id, unnest(toks) AS tok
+              FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            ),
+            tot AS (SELECT count(*)::DOUBLE AS c FROM tk),
+            freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+            sc AS (
+              SELECT tk.doc_id,
+                     round(-avg(ln(freq.cnt / (SELECT c FROM tot))), 4)
+                       AS avg_neg_logp,
+                     count(*) AS n_tok
+              FROM tk JOIN freq USING (tok) GROUP BY tk.doc_id
+            )
+            SELECT d.doc_id, sc.avg_neg_logp AS avg_neg_logp,
+                   coalesce(sc.n_tok, 0)::BIGINT AS n_tok
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        # corpus-global line dedup: doc-frequency per line, drop shared
+        # lines everywhere, ordered reassembly
+        "line_dedup": """
+            WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                        FROM documents),
+            ln AS (SELECT doc_id,
+                          unnest(list_transform(
+                              l, (x, i) -> struct_pack(pos := i, line := x)))
+                            AS u
+                   FROM l0),
+            lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ln),
+            freq AS (SELECT line, count(DISTINCT doc_id) AS line_df
+                     FROM lines GROUP BY line),
+            kept AS (SELECT lines.* FROM lines JOIN freq USING (line)
+                     WHERE line_df <= 1),
+            re AS (SELECT doc_id,
+                          string_agg(line, chr(10) ORDER BY pos)
+                            AS clean_text,
+                          count(*) AS n_lines_kept
+                   FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+                   len(string_split(d.text, chr(10)))::INT AS n_lines,
+                   coalesce(re.n_lines_kept, 0)::BIGINT AS n_lines_kept
+            FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "rolling_fingerprint": f"""
             SELECT doc_id,

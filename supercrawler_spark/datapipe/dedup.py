@@ -339,3 +339,43 @@ def contamination_screen(df: DataFrame, blocklist: DataFrame,
     return agg.select(F.col(id_col), F.col("n_grams").cast("long"),
                       F.col("n_contaminated").cast("long"),
                       ratio.alias("contamination_ratio"))
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               max_doc_freq: int = 1) -> DataFrame:
+    """Corpus-global line-level dedup (the RefinedWeb/Falcon pipeline
+    step): a line appearing in more than ``max_doc_freq`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    dropped from every document; remaining lines reassemble in original
+    order. Documents may come back empty but are never lost.
+
+    Scale shape: explode to (doc, pos, line) → distinct (line, doc) →
+    per-line doc-frequency agg (map-side combinable) → rejoin on line →
+    per-doc ordered reassembly via array_sort over (pos, line) structs.
+    Two shuffles on the line key + one on the doc key; nothing
+    driver-resident and no O(n²) anywhere. Exact ANSI-SQL twin in
+    __spark_entry__.oracle_sql."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    doc_freq = (lines.select(id_col, "line").distinct()
+                .groupBy("line").agg(F.count(F.lit(1)).alias("line_df")))
+    kept = (lines.join(doc_freq, "line")
+            .filter(F.col("line_df") <= max_doc_freq))
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos"), F.col("line")))),
+                            lambda s: s["line"])).alias("clean_text"),
+                        F.count(F.lit(1)).alias("n_lines_kept")))
+    # docs whose every line was boilerplate still come back (empty text)
+    base = df.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (base.join(reassembled, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                    "n_lines",
+                    F.coalesce(F.col("n_lines_kept"), F.lit(0))
+                     .alias("n_lines_kept")))

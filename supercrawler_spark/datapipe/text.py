@@ -205,3 +205,32 @@ def repetition_ratio(df: DataFrame, text_col: str = "text",
              .otherwise(F.lit(0.0))
     return agg.select(F.col(id_col), F.col("tot").alias("n_ngrams"),
                       ratio.alias("repetition_ratio"))
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          round_to: int = 4) -> DataFrame:
+    """CCNet-style perplexity proxy: score each document by the mean
+    negative log-probability of its tokens under the CORPUS unigram
+    distribution — high scores = rare-token-heavy documents (gibberish,
+    boilerplate tables, non-language), low scores = common fluent text.
+    Classic pretraining-quality signal when no LM is available.
+
+    Two-pass corpus-global shape: one exploded aggregation builds the
+    unigram counts, the token stream rejoins it on the token key (shuffle
+    on token — at web scale the vocabulary is too large to broadcast),
+    then a per-doc mean. All JVM; exact ANSI-SQL twin in
+    __spark_entry__.oracle_sql. Token-less docs score NULL with n_tok 0."""
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+    freq = (toks.filter(F.col("tok").isNotNull())
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    total = freq.agg(F.sum("cnt").alias("t")).first()["t"]
+    total = int(total) if total is not None else 0
+    scored = (toks.join(freq, "tok", "left")
+              .groupBy(id_col)
+              .agg(F.round(-F.avg(F.log(F.col("cnt")
+                                        / F.lit(float(max(total, 1))))),
+                           round_to).alias("avg_neg_logp"),
+                   F.count(F.col("tok")).alias("n_tok")))
+    return scored.select(id_col, "avg_neg_logp", "n_tok")

@@ -474,3 +474,43 @@ def test_det_lsh_ann_plan_dedups_on_ids_only(spark, sf_dir):
     assert id_aggs, plan
     assert all("vec" not in a for a in id_aggs), id_aggs
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    import math
+
+    from supercrawler_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+        (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+        (3, "COOKIE BANNER\nFOOTER"),
+        (4, "standalone doc\nwith unique lines"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+           for r in line_dedup(docs, max_doc_freq=1).collect()}
+    assert out[1] == ("real content one", 3, 1)
+    assert out[2] == ("real content two", 3, 1)
+    assert out[3] == ("", 2, 0)            # all boilerplate — kept as empty
+    assert out[4] == ("standalone doc\nwith unique lines", 2, 2)
+    # max_doc_freq=3 keeps everything (each line appears in <= 3 docs)
+    out3 = {r["doc_id"]: r["n_lines_kept"]
+            for r in line_dedup(docs, max_doc_freq=3).collect()}
+    assert out3 == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_unigram_logprob_score_hand_computed(spark):
+    import math
+
+    from supercrawler_spark.datapipe.text import unigram_logprob_score
+
+    # corpus: tokens a a a b  -> p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame([
+        (1, "a a a"), (2, "b"), (3, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["avg_neg_logp"], r["n_tok"])
+           for r in unigram_logprob_score(docs).collect()}
+    assert out[1] == (round(-math.log(3 / 4), 4), 3)
+    assert out[2] == (round(-math.log(1 / 4), 4), 1)
+    assert out[3][0] is None and out[3][1] == 0
+    # rarer-token doc scores strictly higher
+    assert out[2][0] > out[1][0]
