@@ -92,11 +92,16 @@ def _worker(mode: str, master: str) -> dict:
 
 
 def _hunt_best() -> dict | None:
-    """Best attempt recorded by scripts/scaling_hunt.py: prefers a
-    calibration-QUALIFIED attempt (cal >= 0.9 before AND after the pair);
-    if the host never granted a qualified window (r3's night peaked at
-    0.89), falls back to the best attempt overall — `qualified: false`
-    stays on the record, so provenance is never overstated."""
+    """Best evidence from scripts/scaling_hunt.py's attempt log.
+
+    Prefers a calibration-QUALIFIED attempt (cal >= 0.9 before AND after
+    the pair). If the host never granted one (r3's night peaked at 0.89),
+    falls back to the CROSS-ATTEMPT PER-LEVEL-BEST pair — each level's
+    wall taken from its least-stalled window — the same capability
+    estimator the live protocol uses across its attempts. (Taking the
+    single max-efficiency unqualified attempt instead would cherry-pick
+    windows where steal inflated the SMALL side's wall — the log's
+    normalized-efficiency values > 1.0 are exactly that signature.)"""
     path = os.path.join(REPO, "BENCH", "scaling_attempts.jsonl")
     try:
         with open(path) as f:
@@ -106,11 +111,36 @@ def _hunt_best() -> dict | None:
     if not recs:
         return None
     qual = [r for r in recs if r.get("qualified")]
-    pool = qual or recs
-    best = dict(max(pool, key=lambda r: r["efficiency_n_to_4n"]))
-    best["n_qualified_attempts"] = len(qual)
-    best["n_attempts_logged"] = len(recs)
-    return best
+    if qual:
+        best = dict(max(qual, key=lambda r: r["efficiency_n_to_4n"]))
+        best["n_qualified_attempts"] = len(qual)
+        best["n_attempts_logged"] = len(recs)
+        return best
+    n_small = max(2, CPUS // 4)
+    ks, kb = f"wall_s_local[{n_small}]", f"wall_s_local[{CPUS}]"
+    # only same-scale attempts are comparable
+    by_scale: dict = {}
+    for r in recs:
+        if ks in r and kb in r:
+            by_scale.setdefault(r.get("scale", 1), []).append(r)
+    if not by_scale:
+        return None
+    pool = max(by_scale.values(), key=len)
+    bs = min(pool, key=lambda r: r[ks])
+    bb = min(pool, key=lambda r: r[kb])
+    eff = round(bs[ks] / bb[kb] / (CPUS / n_small), 3)
+    return {
+        "kind": "cross_attempt_best_pair",
+        ks: bs[ks], kb: bb[kb],
+        "cal_min": min(bs["cal_min"], bb["cal_min"]),
+        "small_from": bs["ts"], "big_from": bb["ts"],
+        "pages": bb.get("pages"),
+        "efficiency_n_to_4n": eff,
+        "qualified": False,
+        "scale": pool[0].get("scale", 1),
+        "n_qualified_attempts": 0,
+        "n_attempts_logged": len(recs),
+    }
 
 
 def main():

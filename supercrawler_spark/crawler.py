@@ -720,9 +720,14 @@ class SparkCrawler:
                 to_fetch, user_agent=cfg.user_agent, follow_redirects=False,
                 timeout_s=cfg.fetch_timeout_s, request_opts=cfg.request_opts,
                 transport=cfg.fetch_transport)
+            # localCheckpoint, NOT persist: recomputing this lineage
+            # re-issues real HTTP GETs (side-effecting, non-deterministic —
+            # a page changing between fetches would make the handler stage
+            # and the outcome fold disagree within one cycle). The rows are
+            # politeness-budget bounded, so pinning them is cheap.
             found = (fetched.filter(F.col("f_status").isNotNull())
                      .join(F.broadcast(batch_df), ["batch_idx", "url"],
-                           "inner").persist())
+                           "inner").localCheckpoint(eager=True).persist())
         else:
             # offline fetch join: the batch (politeness-budget bounded) is
             # broadcast INTO the web table: one streaming scan of web_pages
@@ -1360,27 +1365,31 @@ class SparkCrawler:
         ua_fn = cfg.user_agent if callable(cfg.user_agent) else None
         result: dict[str, tuple[int, bytes] | None] = {}
         pending = {u: u for u in urls}
-        for _ in range(cfg.max_redirect_hops):
-            if not pending:
-                break
-            nxt: dict[str, str] = {}
-            for orig, cur in pending.items():
-                ua = ua_fn(cur) if ua_fn is not None else cfg.user_agent
-                options = _wf.merge_request_options(
-                    {"headers": {"User-Agent": ua},
-                     "allow_redirects": False,
-                     "timeout": cfg.fetch_timeout_s},
-                    cfg.request_opts)
-                try:
-                    status, _ct, loc, body = tp(session, cur, options)
-                except Exception:
-                    result[orig] = None
-                    continue
-                if 300 <= status < 400 and loc:
-                    nxt[orig] = urls_mod.resolve(cur, loc)
-                else:
-                    result[orig] = (int(status), body)
-            pending = nxt
+        try:
+            for _ in range(cfg.max_redirect_hops):
+                if not pending:
+                    break
+                nxt: dict[str, str] = {}
+                for orig, cur in pending.items():
+                    ua = ua_fn(cur) if ua_fn is not None else cfg.user_agent
+                    options = _wf.merge_request_options(
+                        {"headers": {"User-Agent": ua},
+                         "allow_redirects": False,
+                         "timeout": cfg.fetch_timeout_s},
+                        cfg.request_opts)
+                    try:
+                        status, _ct, loc, body = tp(session, cur, options)
+                    except Exception:
+                        result[orig] = None
+                        continue
+                    if 300 <= status < 400 and loc:
+                        nxt[orig] = urls_mod.resolve(cur, loc)
+                    else:
+                        result[orig] = (int(status), body)
+                pending = nxt
+        finally:
+            if session is not None:
+                session.close()  # no pool/fd leak across cycles
         for orig in pending:
             result[orig] = None  # redirect loop → request error
         return result

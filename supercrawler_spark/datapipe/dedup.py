@@ -242,10 +242,17 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
     defs = _chunk_defs(bits, max_hamming + 1)
     sig = df.select(F.col(id_col).alias("_id"),
                     F.col(sig_col).alias("_sig")).localCheckpoint(eager=True)
+    def chunk_val(off: int, w: int) -> "F.Column":
+        shifted = F.shiftrightunsigned(F.col("_sig"), off)
+        if w >= 64:
+            # full-width chunk (max_hamming=0 at bits=64): the mask
+            # (1<<64)-1 does not fit in LongType and is a no-op anyway
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     chunk_structs = [
         F.struct(F.lit(c).alias("chunk_idx"),
-                 (F.shiftrightunsigned(F.col("_sig"), off)
-                  .bitwiseAND(F.lit((1 << w) - 1))).alias("chunk_val"))
+                 chunk_val(off, w).alias("chunk_val"))
         for c, (off, w) in enumerate(defs)
     ]
     exploded = sig.select(
@@ -300,11 +307,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     if changed != 0:
-        raise RuntimeError(
-            f"dup_clusters did not converge within max_iter={max_iter} "
-            f"rounds (a component's diameter exceeds the cap); raise "
-            f"max_iter — returning partial labels would silently split "
-            f"clusters")
+        # changed>0 on the FINAL round means the labels moved that round —
+        # they may still have just reached the fixpoint. One confirming
+        # propagation distinguishes "converged on the last permitted
+        # round" from genuinely unconverged (only runs in this boundary
+        # case).
+        nbr = (sym.join(labels, sym.dst == labels.id)
+               .select(F.col("src").alias("id"), F.col("label")))
+        confirm = (labels.select("id", "label").unionByName(nbr)
+                   .groupBy("id").agg(F.min("label").alias("label")))
+        still = (confirm.alias("n").join(labels.alias("o"), "id")
+                 .filter(F.col("n.label") != F.col("o.label"))
+                 .limit(1).count())
+        if still != 0:
+            raise RuntimeError(
+                f"dup_clusters did not converge within max_iter={max_iter} "
+                f"rounds (a component's diameter exceeds the cap); raise "
+                f"max_iter — returning partial labels would silently split "
+                f"clusters")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -223,8 +223,13 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     __spark_entry__.oracle_sql. Token-less docs score NULL with n_tok 0."""
     toks = df.select(F.col(id_col),
                      F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+    # materialize the vocabulary once: the scalar total below executes the
+    # full explode+groupBy, and without this the scored join would run the
+    # identical aggregation a second time (the dominant cost at corpus
+    # scale)
     freq = (toks.filter(F.col("tok").isNotNull())
-                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True))
     total = freq.agg(F.sum("cnt").alias("t")).first()["t"]
     total = int(total) if total is not None else 0
     scored = (toks.join(freq, "tok", "left")

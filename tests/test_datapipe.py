@@ -514,3 +514,32 @@ def test_unigram_logprob_score_hand_computed(spark):
     assert out[3][0] is None and out[3][1] == 0
     # rarer-token doc scores strictly higher
     assert out[2][0] > out[1][0]
+
+def test_dup_clusters_converging_on_final_round_is_accepted(spark):
+    """A path graph with diameter exactly max_iter converges ON the last
+    permitted round; the non-convergence guard must confirm rather than
+    raise (review r4), while one round fewer still raises."""
+    import pytest
+
+    from supercrawler_spark.datapipe.dedup import dup_clusters
+
+    chain = [(f"d{i}", f"d{i+1}") for i in range(5)]   # diameter 5
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r["cluster_id"] for r in dup_clusters(pairs, max_iter=5).collect()}
+    assert got == {"d0"}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=3)
+
+
+def test_hamming_near_pairs_full_width_chunk_max_hamming_zero(spark):
+    """bits=64 with max_hamming=0 (exact 64-bit duplicate detection) uses
+    one full-width chunk — the (1<<64)-1 mask must not be materialized as
+    a LongType literal (review r4)."""
+    from supercrawler_spark.datapipe import dedup as DD
+
+    rows = [(0, 7), (1, 7), (2, -9223372036854775808), (3, -9223372036854775808), (4, 5)]
+    df = spark.createDataFrame(rows, "id long, sig long")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           DD.hamming_near_pairs(df, "sig", "id", bits=64,
+                                 max_hamming=0).collect()}
+    assert got == {(0, 1, 0), (2, 3, 0)}
