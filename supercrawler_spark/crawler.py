@@ -199,6 +199,14 @@ class CrawlConfig:
     # per-page discovered-link lists collected into CycleStats.page_links —
     # powers the facade's reference `links` event (Crawler.js:260); opt-in
     # because it ships every cycle's links to the driver
+    collect_events: bool = True
+    # per-URL driver materialization: crawl_order entries + CycleStats
+    # .results (the facade's crawlurl/crawledurl/... event payloads). True
+    # by default for reference parity; the facade re-derives it each cycle
+    # from whether any per-URL listener is attached. When False the cycle
+    # collects ONLY scalars + per-host robots keys — the batch, the
+    # outcome fold, the upsert delta and the crawl_log rows all stay
+    # executor-resident (O13: no driver round-trip of 10^6-row cycles)
     initial_retry_ms: float = HOUR_MS    # DbUrlList.js:81
     recrawl_ms: float = YEAR_MS          # DbUrlList.js:7,36
     checkpoint_every: int = 8            # parquet snapshot cadence (cycles)
@@ -320,7 +328,8 @@ class SparkCrawler:
         self.host_delay: "OrderedDict[str, tuple[float, float]]" = OrderedDict()
         self._host_delay_base: DataFrame | None = None
         self._host_delay_dirty: dict[str, tuple[float, float]] = {}
-        self._log_buffer: list[dict] = []
+        self._log_df_buffer: list[DataFrame] = []
+        self._pending_results: list[DataFrame] = []
         self._metrics_buffer: list[dict] = []
         self._bloom = None
         if self.config.use_bloom:
@@ -658,10 +667,10 @@ class SparkCrawler:
         cfg = self.config
         stats = CycleStats(cycle_id=self.cycle_id)
         ph = _Phase()
-        batch = self._pop_batch()
+        frame, n_popped = self._pop_batch()
         ph.mark('pop')
-        stats.popped = len(batch)
-        if not batch:
+        stats.popped = n_popped
+        if not n_popped:
             stats.events.append(("urllistempty", None))
             if cfg.max_idle_skip_ms is not None and self._fast_forward():
                 stats.fast_forwarded = True
@@ -669,29 +678,38 @@ class SparkCrawler:
             stats.events.append(("urllistcomplete", None))
             return stats
 
-        for idx, row in enumerate(batch):
-            self.crawl_order.append((self.cycle_id, idx, row["url"]))
+        if cfg.collect_events:
+            # per-URL crawl order (parity contract / facade events) — the
+            # only place the popped batch reaches the driver, and only on
+            # request
+            for r in frame.select("batch_idx", "url") \
+                          .orderBy("batch_idx").collect():
+                self.crawl_order.append(
+                    (self.cycle_id, int(r["batch_idx"]), r["url"]))
 
         # --- robots refresh + routing (driver-coordinated small dimension) --
+        # driver sees one row per distinct robots key (≈ host) in the batch,
+        # never the per-URL rows: the robots fetch itself is inherently
+        # driver-coordinated (LRU/TTL cache + redirect-following GET)
         robots_inserts: list[tuple[int, str]] = []  # (batch_idx, robots_url)
+        key_firsts: list[tuple[int, str]] = []
         if cfg.robots_enabled:
-            robots_inserts = self._refresh_robots(batch)
+            key_firsts = [
+                (int(r["first_idx"]), r["robots_key"])
+                for r in (frame.groupBy("robots_key")
+                          .agg(F.min("batch_idx").alias("first_idx"))
+                          .orderBy("first_idx").collect())]
+            robots_inserts = self._refresh_robots(key_firsts)
         ph.mark('robots')
 
-        batch_df = local_df(self.spark, [
-            {"batch_idx": idx, "url": r["url"], "num_errors": int(r["num_errors"] or 0),
-             "robots_key": urls_mod.robots_url(r["url"])}
-            for idx, r in enumerate(batch)
-        ], T.StructType([
-            T.StructField("batch_idx", T.LongType()),
-            T.StructField("url", T.StringType()),
-            T.StructField("num_errors", T.IntegerType()),
-            T.StructField("robots_key", T.StringType()),
-        ]))
+        batch_df = frame.select(
+            "batch_idx", "url",
+            F.coalesce(F.col("num_errors"), F.lit(0)).cast("int")
+             .alias("num_errors"),
+            "robots_key")
 
         if cfg.robots_enabled:
-            robots_dim = self._robots_dim_df(
-                [urls_mod.robots_url(r["url"]) for r in batch])
+            robots_dim = self._robots_dim_df([k for _, k in key_firsts])
             batch_df = batch_df.join(F.broadcast(robots_dim), "robots_key", "left")
             allowed_udf = SF.make_robots_allowed_udf(cfg.user_agent)
             batch_df = batch_df.withColumn(
@@ -725,9 +743,15 @@ class SparkCrawler:
             # a page changing between fetches would make the handler stage
             # and the outcome fold disagree within one cycle). The rows are
             # politeness-budget bounded, so pinning them is cheap.
-            found = (fetched.filter(F.col("f_status").isNotNull())
-                     .join(F.broadcast(batch_df), ["batch_idx", "url"],
-                           "inner").localCheckpoint(eager=True).persist())
+            found_expr = (fetched.filter(F.col("f_status").isNotNull())
+                          .join(F.broadcast(batch_df), ["batch_idx", "url"],
+                                "inner"))
+            if self.plan_sink is not None:
+                # capture BEFORE the checkpoint pin: localCheckpoint
+                # truncates lineage, so the post-pin plan is an opaque
+                # InMemoryTableScan that hides the MapInPandas fetch stage
+                self.plan_sink["fetch_join"] = plan_str(found_expr)
+            found = found_expr.localCheckpoint(eager=True).persist()
         else:
             # offline fetch join: the batch (politeness-budget bounded) is
             # broadcast INTO the web table: one streaming scan of web_pages
@@ -742,8 +766,8 @@ class SparkCrawler:
                 F.col("body").alias("f_body"),
             )
             found = pages.join(F.broadcast(batch_df), "url", "inner").persist()
-        if self.plan_sink is not None:
-            self.plan_sink["fetch_join"] = plan_str(found)
+            if self.plan_sink is not None:
+                self.plan_sink["fetch_join"] = plan_str(found)
 
         # rows that fire handlers: robots-allowed, present, 2xx non-redirect
         fetch_ok = (F.col("robots_allowed") & (F.col("f_status") < 400))
@@ -813,15 +837,18 @@ class SparkCrawler:
                    (F.col("error_code") == "HTTP_ERROR"), F.col("f_status"))
              .otherwise(F.lit(None).cast("int")))
 
-        # results is batch-sized (politeness budget) — collect ONCE; all
-        # per-row outcomes, lineage events and the upsert delta derive from
-        # it driver-side, turning the frontier merge into a broadcast join.
+        # results is batch-sized and stays EXECUTOR-RESIDENT: the upsert
+        # delta, the crawl_log rows and the cycle metrics all derive from
+        # it as DataFrame lineage; the driver collects only the per-cycle
+        # scalar counters. Full rows cross to the driver ONLY when
+        # collect_events asks for the facade's per-URL event payloads.
         ph.mark('plan2')
-        result_rows = (results
-                       .select("batch_idx", "url", "num_errors", "status_out",
-                               "error_code", "error_message", "f_location")
-                       .collect())
-        stats.results = [r.asDict() for r in result_rows]
+        results = (results
+                   .select("batch_idx", "url", "num_errors", "status_out",
+                           "error_code", "error_message", "f_location")
+                   .persist())
+        if cfg.collect_events:
+            stats.results = [r.asDict() for r in results.collect()]
         ph.mark('results_collect')
 
         # --- ordered insert list: robots enqueues then discovered links -----
@@ -911,20 +938,13 @@ class SparkCrawler:
         # current state was collected by the pop, so the delta is computed
         # over a batch-sized frame and the big base layer is never rewritten
         # (bucket-local MERGE semantics; Iceberg MERGE on a real cluster).
-        upd = local_df(self.spark, [
-            {"u_url": r["url"], "batch_idx": r["batch_idx"],
-             "status_out": r["status_out"], "u_error_code": r["error_code"],
-             "u_error_message": r["error_message"]} for r in result_rows
-        ], T.StructType([
-            T.StructField("u_url", T.StringType()),
-            T.StructField("batch_idx", T.LongType()),
-            T.StructField("status_out", T.IntegerType()),
-            T.StructField("u_error_code", T.StringType()),
-            T.StructField("u_error_message", T.StringType()),
-        ]))
+        upd = results.select(
+            F.col("url").alias("u_url"), "batch_idx", "status_out",
+            F.col("error_code").alias("u_error_code"),
+            F.col("error_message").alias("u_error_message"))
         t_row = (F.lit(self.cycle_time)
                  + F.col("batch_idx").cast("double") * F.lit(cfg.interval_ms))
-        batch_state = local_df(self.spark, batch, FRONTIER_SCHEMA)
+        batch_state = frame.select(*[f.name for f in FRONTIER_SCHEMA])
         # both sides are batch-sized; broadcast the update side so the merge
         # never sorts/exchanges (local frames carry no size stats, so the
         # planner would otherwise fall back to a sort-merge join)
@@ -991,9 +1011,9 @@ class SparkCrawler:
             self._scored_tmp = None
 
         # --- lineage / metrics (S7, A5) -------------------------------------
-        self._log_cycle(result_rows, stats)
+        self._log_cycle(results, stats)
 
-        self.cycle_time += cfg.interval_ms * len(batch)
+        self.cycle_time += cfg.interval_ms * n_popped
         self.cycle_id += 1
         if self.cycle_id % cfg.checkpoint_every == 0:
             self._commit_snapshot()
@@ -1134,7 +1154,10 @@ class SparkCrawler:
     # ------------------------------------------------------------------
     # pop (W1/W2): salted host-bucket window rank + global top-B
     # ------------------------------------------------------------------
-    def _pop_batch(self) -> list[dict]:
+    def _pop_batch(self) -> tuple[DataFrame, int]:
+        """Pop the cycle's politeness batch. Returns (frame, n): an
+        executor-pinned DataFrame of FRONTIER_SCHEMA + batch_idx +
+        robots_key, and its row count. No per-URL driver transfer."""
         cfg = self.config
         if cfg.order_mode == "fifo":
             due = self.frontier.filter(
@@ -1162,14 +1185,29 @@ class SparkCrawler:
             w = Window.partitionBy("host").orderBy(*order)
             due = (due.withColumn("_hrn", F.row_number().over(w))
                       .filter(F.col("_hrn") <= cfg.per_host_cap).drop("_hrn"))
-        # full rows: the batch IS the merge's update side (batch-sized), so
-        # the upsert never rejoins or rewrites the frontier at large
+        # full rows: the batch IS the merge's update target (batch-sized),
+        # so the upsert never rejoins or rewrites the frontier at large
         frame = (due.orderBy(*order).limit(cfg.budget)
                     .select(*[f.name for f in FRONTIER_SCHEMA]))
         if self.plan_sink is not None:
             self.plan_sink["pop"] = plan_str(frame)
-        rows = frame.collect()
-        return [r.asDict() for r in rows]
+        # batch_idx = pick position (reference crawl order). The global
+        # window is budget-bounded (≤ cfg.budget rows after the limit, ties
+        # broken by unique seq). localCheckpoint pins the pop on the
+        # EXECUTORS: the merge's update target can never drift after the
+        # delta write, and no full-row driver collect is needed — the batch
+        # never leaves the cluster unless collect_events asks for it (O13).
+        w = Window.orderBy(*order)
+        frame = frame.withColumn(
+            "batch_idx", F.row_number().over(w).cast("long") - F.lit(1))
+        if cfg.robots_enabled:
+            frame = frame.withColumn(
+                "robots_key", SF.robots_url_udf(F.col("url")))
+        else:
+            frame = frame.withColumn(
+                "robots_key", F.lit(None).cast("string"))
+        frame = frame.localCheckpoint(eager=True)
+        return frame, int(frame.count())
 
     # ------------------------------------------------------------------
     # decay host-state layer (A1/W3) — host-keyed table + bounded LRU memo
@@ -1275,23 +1313,21 @@ class SparkCrawler:
         ])
         return local_df(self.spark, rows, schema)
 
-    def _refresh_robots(self, batch: list[dict]) -> list[tuple[int, str]]:
+    def _refresh_robots(
+            self, key_firsts: list[tuple[int, str]]) -> list[tuple[int, str]]:
         """Fetch robots.txt for batch hosts with cache-miss/TTL semantics
-        (Crawler.js:445-502). Returns the ordered frontier enqueues of the
-        robots URLs themselves (Crawler.js:463-465)."""
+        (Crawler.js:445-502). Input is (first_batch_idx, robots_key) per
+        DISTINCT key, ordered by first occurrence — host-bounded, never the
+        per-URL batch. Returns the ordered frontier enqueues of the robots
+        URLs themselves (Crawler.js:463-465)."""
         cfg = self.config
-        batch_keys = [urls_mod.robots_url(row["url"]) for row in batch]
-        known = self._robots_lookup(list(dict.fromkeys(batch_keys)))
+        known = self._robots_lookup([k for _, k in key_firsts])
         wanted: list[tuple[int, str]] = []
-        seen_keys = set()
-        for idx, key in enumerate(batch_keys):
-            if key in seen_keys:
-                continue
+        for idx, key in key_firsts:
             entry = known.get(key)
             if entry is not None and (entry.fetched_at + cfg.robots_cache_ttl_ms
                                       > self.cycle_time):
                 continue
-            seen_keys.add(key)
             wanted.append((idx, key))
         if not wanted:
             return []
@@ -1397,20 +1433,36 @@ class SparkCrawler:
     # ------------------------------------------------------------------
     # lineage / metrics
     # ------------------------------------------------------------------
-    def _log_cycle(self, result_rows: list, stats: CycleStats) -> None:
-        """Buffer lineage events + per-cycle metrics driver-side (result_rows
-        is politeness-budget-bounded); flushed as parquet at each snapshot
-        commit so checkpoint/resume carries the lineage too."""
-        for r in result_rows:
-            self._log_buffer.append({
-                "cycle_id": self.cycle_id, "batch_idx": r["batch_idx"],
-                "event": "crawledurl", "url": r["url"],
-                "status_code": r["status_out"], "error_code": r["error_code"],
-                "detail": r["error_message"],
-            })
-        stats.robots_denied = sum(
-            1 for r in result_rows if r["error_code"] == "ROBOTS_NOT_ALLOWED")
-        stats.errors = sum(1 for r in result_rows if r["error_code"] is not None)
+    def _log_cycle(self, results: DataFrame, stats: CycleStats) -> None:
+        """Buffer lineage events executor-side (a DataFrame projection of
+        the persisted outcome fold — per-URL rows never reach the driver)
+        and per-cycle metrics as driver scalars; both flushed as parquet at
+        each snapshot commit so checkpoint/resume carries the lineage."""
+        self._log_df_buffer.append(results.select(
+            F.lit(self.cycle_id).cast("long").alias("cycle_id"),
+            F.col("batch_idx"),
+            F.lit("crawledurl").alias("event"),
+            F.col("url"),
+            F.col("status_out").alias("status_code"),
+            F.col("error_code"),
+            F.col("error_message").alias("detail")))
+        self._pending_results.append(results)
+        if stats.results:
+            # per-URL payloads were already collected for the facade events
+            # — derive the scalars from them rather than running another job
+            stats.robots_denied = sum(
+                1 for r in stats.results
+                if r["error_code"] == "ROBOTS_NOT_ALLOWED")
+            stats.errors = sum(
+                1 for r in stats.results if r["error_code"] is not None)
+        else:
+            counts = results.agg(
+                F.count(F.when(F.col("error_code") == "ROBOTS_NOT_ALLOWED",
+                               F.lit(1))).alias("rd"),
+                F.count(F.when(F.col("error_code").isNotNull(),
+                               F.lit(1))).alias("er")).collect()[0]
+            stats.robots_denied = int(counts["rd"])
+            stats.errors = int(counts["er"])
         self._metrics_buffer.append({
             "cycle_id": self.cycle_id,
             "popped": stats.popped,
@@ -1425,10 +1477,17 @@ class SparkCrawler:
         })
 
     def _flush_logs(self) -> None:
-        if self._log_buffer:
-            self.crawl_log.append(
-                local_df(self.spark, self._log_buffer, CRAWL_LOG_SCHEMA))
-            self._log_buffer = []
+        if self._log_df_buffer:
+            out = self._log_df_buffer[0]
+            for df in self._log_df_buffer[1:]:
+                out = out.unionByName(df)
+            self.crawl_log.append(out)
+            self._log_df_buffer = []
+            # the outcome folds backing the log rows were pinned per cycle;
+            # the parquet write above is their last consumer
+            for df in self._pending_results:
+                df.unpersist()
+            self._pending_results = []
         if self._metrics_buffer:
             self.metrics_log.append(
                 local_df(self.spark, self._metrics_buffer, METRICS_SCHEMA))

@@ -267,6 +267,15 @@ class Crawler:
                 # another event callback, must still receive real link
                 # lists); checked each cycle, flips the shared engine config
                 self._config.collect_links = True
+            # per-URL payload latch (O13): the engine collects the popped
+            # batch + outcome fold to the driver only while some per-URL
+            # listener needs the event payloads; a listener-less crawl
+            # keeps every per-URL row executor-resident. Re-checked each
+            # cycle so a listener attached after start still gets events.
+            self._config.collect_events = any(
+                self._listeners.get(e)
+                for e in ("crawlurl", "crawledurl", "httpError",
+                          "handlersError", "redirect", "links"))
             stats = eng.run_cycle()
             if stats.popped:
                 n_work += 1

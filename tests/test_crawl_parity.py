@@ -321,3 +321,53 @@ def test_http_fetch_mode_parity(spark, small_web):
     assert cr_http.crawl_order == cr_join.crawl_order
     assert cr_http.seen_urls() == cr_join.seen_urls()
     assert_parity(cr_http, res)
+
+
+def test_collect_events_off_no_per_url_driver_rows(spark, small_web):
+    """O13 (scale posture): a listener-less crawl (collect_events=False)
+    keeps every per-URL row executor-resident — the driver may collect
+    scalars and host-bounded robots/decay rows only, never the popped
+    batch, the outcome fold, or any frontier-shaped frame. Final crawl
+    state must still exactly match the oracle (the executor-side upsert
+    delta / crawl_log derivation is the same lineage, minus the
+    driver round-trip)."""
+    from pyspark.sql import DataFrame
+
+    seeds, web_pdf, web_df = small_web
+    wd = tempfile.mkdtemp()
+    cfg = CrawlConfig(budget=8, order_mode="random", collect_events=False)
+    cr = SparkCrawler(spark, web_df, wd, cfg)
+    cr.seed(list(seeds["url"]))
+
+    collected = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def spy_c(self):
+        collected.append(self.schema)
+        return orig_collect(self)
+
+    def spy_p(self):
+        collected.append(self.schema)
+        return orig_topandas(self)
+
+    DataFrame.collect, DataFrame.toPandas = spy_c, spy_p
+    try:
+        cr.crawl(max_cycles=100)
+    finally:
+        DataFrame.collect, DataFrame.toPandas = orig_collect, orig_topandas
+
+    # per-URL frames are recognizable by their columns: the popped batch /
+    # outcome fold carry batch_idx, frontier rows carry seq, fetch rows
+    # carry f_body. (Robots fetches collect url/status/body rows — they
+    # are PER-HOST, allowed by the contract, and carry none of these.)
+    leaked = [s for s in collected
+              if any(f.name in ("batch_idx", "seq", "f_body")
+                     for f in s.fields)]
+    assert not leaked, f"per-URL frames crossed the driver: {leaked}"
+    assert cr.crawl_order == []  # events opted out — nothing materialized
+
+    ora = OracleCrawler(web_pages_dict(web_pdf),
+                        OracleConfig(budget=8, order_mode="random"))
+    ora.seed(list(seeds["url"]))
+    res = ora.crawl(max_rounds=100)
+    assert_parity(cr, res, check_order=False)
