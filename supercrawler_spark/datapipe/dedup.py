@@ -227,11 +227,11 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
                        out_a: str = "id_a", out_b: str = "id_b") -> DataFrame:
     """Generic banded hamming-distance near-pair join over ANY integer
     signature column (``bits`` wide, stored in a signed 64-bit column):
-    the pigeonhole-complete chunk scheme of ``simhash_near_pairs``
-    generalized — ``max_hamming + 1`` bit-chunks, a pair within distance h
-    matches at least one chunk exactly, so candidates are bucket
-    collisions only (never O(n²)); a codegen'd bit_count verify runs
-    BEFORE the distinct so the dedup exchange is O(result).
+    pigeonhole-complete banding (see scheme comment below: double-chunk
+    bands at ``max_hamming + 2`` chunks when possible, classic
+    single-chunk bands otherwise), so candidates are bucket collisions
+    only (never O(n²)); a codegen'd bit_count verify runs BEFORE the
+    distinct so the dedup exchange is O(result).
 
     This is the shared kernel for 60-bit text SimHash and 64-bit image
     perceptual hashes (multimodal.phash_dup_pairs): near-duplicate IMAGE
@@ -239,7 +239,6 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
     near-dup — banded equi-join + cheap verify."""
     if not 0 <= max_hamming < bits:
         raise ValueError(f"max_hamming must be in [0, {bits - 1}]")
-    defs = _chunk_defs(bits, max_hamming + 1)
     sig = df.select(F.col(id_col).alias("_id"),
                     F.col(sig_col).alias("_sig")).localCheckpoint(eager=True)
     def chunk_val(off: int, w: int) -> "F.Column":
@@ -250,13 +249,39 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
             return shifted
         return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
-    chunk_structs = [
-        F.struct(F.lit(c).alias("chunk_idx"),
-                 chunk_val(off, w).alias("chunk_val"))
-        for c, (off, w) in enumerate(defs)
-    ]
-    exploded = sig.select(
-        "_id", "_sig", F.explode(F.array(*chunk_structs)).alias("ch"))
+    # banding scheme. Pigeonhole with k chunks: <= h differing bits touch
+    # <= h chunks, so >= k - h chunks match exactly. k = h + 1 gives the
+    # classic single-chunk-match bands; k = h + 2 guarantees >= TWO
+    # matching chunks, so bucketing on UNORDERED CHUNK PAIRS (i<j, both
+    # values in the key) stays complete while the bucket key is twice as
+    # wide — collisions shrink quadratically (2^-2w vs 2^-w per band) for
+    # C(k,2)/k more exploded rows. At h=8/60 bits: 45 bands of ~12-bit
+    # keys vs 9 bands of ~7-bit keys → ~6x fewer candidate pairs streamed
+    # through the verify, the dominant corpus-scale cost.
+    use_pairs = (max_hamming + 2) <= bits and max_hamming >= 1
+    if use_pairs:
+        k = max_hamming + 2
+        defs = _chunk_defs(bits, k)
+        chunk_cols = [chunk_val(off, w).alias(f"_c{c}")
+                      for c, (off, w) in enumerate(defs)]
+        base = sig.select("_id", "_sig", *chunk_cols)
+        band_structs = [
+            F.struct(F.lit(i * k + j).alias("chunk_idx"),
+                     F.col(f"_c{i}").alias("chunk_val"),
+                     F.col(f"_c{j}").alias("chunk_val2"))
+            for i in range(k) for j in range(i + 1, k)
+        ]
+        exploded = base.select(
+            "_id", "_sig", F.explode(F.array(*band_structs)).alias("ch"))
+    else:
+        defs = _chunk_defs(bits, max_hamming + 1)
+        chunk_structs = [
+            F.struct(F.lit(c).alias("chunk_idx"),
+                     chunk_val(off, w).alias("chunk_val"))
+            for c, (off, w) in enumerate(defs)
+        ]
+        exploded = sig.select(
+            "_id", "_sig", F.explode(F.array(*chunk_structs)).alias("ch"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (a.join(b, (F.col("a.ch") == F.col("b.ch"))
                    & (F.col("a._id") < F.col("b._id")))
