@@ -159,20 +159,11 @@ def q_union_link_sources(spark, sf_dir):
     return a.unionByName(b)
 
 
-def q_md5_url_hash(spark, sf_dir):
-    """C5 analog: content-addressed URL hashing + 60-bit key (md5 twin of
-    the engine's sha1/xxhash64 — md5 exists in both engines)."""
-    customer = _t(spark, sf_dir, "customer")
-    url = F.concat(F.lit("http://example.com/c/"), F.col("c_custkey"))
-    return customer.select(
-        "c_custkey",
-        F.md5(url).alias("url_md5"),
-        DD.md5_long(url).alias("url_hash60"),
-        (DD.md5_long(url) % 1000).alias("priority_bucket"))
-
-
-def q_content_type_strip(spark, sf_dir):
-    """F8/C6: content-type parameter strip (regexp) + prefix route."""
+def q_record_scalars(spark, sf_dir):
+    """F8/C6 content-type parameter strip + handler route, and crawl_log
+    props JSON extraction — the former content_type_strip + json_extract
+    queries merged into one events pass to fit the driver's 50-entry
+    recording cap (both checks preserved, one recorded row)."""
     events = _t(spark, sf_dir, "events")
     ct = F.concat(F.lit("text/"), F.col("event_type"), F.lit("; charset=utf-8"))
     stripped = F.regexp_replace(ct, ";.*$", "")
@@ -180,7 +171,8 @@ def q_content_type_strip(spark, sf_dir):
         "event_id", stripped.alias("content_type"),
         F.when(F.col("event_type").isin("click", "view"), F.lit("html_handler"))
          .when(F.col("event_type") == "purchase", F.lit("sitemap_handler"))
-         .otherwise(F.lit("no_handler")).alias("route"))
+         .otherwise(F.lit("no_handler")).alias("route"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
 
 
 def q_error_truncate(spark, sf_dir):
@@ -190,14 +182,6 @@ def q_error_truncate(spark, sf_dir):
                        F.substring("text", 1, 50).alias("err_trunc"),
                        F.length(F.substring("text", 1, 50)).cast("long")
                         .alias("trunc_len"))
-
-
-def q_json_extract(spark, sf_dir):
-    """Context/props extraction — crawl_log detail parsing analog."""
-    events = _t(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"))
 
 
 def q1_pricing_summary(spark, sf_dir):
@@ -300,23 +284,20 @@ def q_quality_score(spark, sf_dir):
     return TX.quality_features(_t(spark, sf_dir, "documents"))
 
 
-def q_token_count(spark, sf_dir):
+def q_token_counts(spark, sf_dir):
+    """Whitespace token counting + BPE-ish subword-unit counting (regex
+    pre-tokenizer analog) — former token_count + bpe_token_count queries
+    merged into one documents pass (50-entry recording cap)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id",
-                       TX.token_count(F.col("text")).cast("long").alias("n_tokens"))
+                       TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+                       TX.bpe_token_count(F.col("text")).cast("long")
+                         .alias("n_pieces"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
-
-
-def q_bpe_token_count(spark, sf_dir):
-    """BPE-ish subword-unit counting (regex pre-tokenizer analog)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id",
-                       TX.bpe_token_count(F.col("text")).cast("long")
-                         .alias("n_pieces"))
 
 
 def q_rolling_fingerprint(spark, sf_dir):
@@ -452,13 +433,39 @@ def q_ann_ivf_topk(spark, sf_dir):
                                 centroid_ids=tuple(range(16)), n_probe=4)
 
 
-def q_multimodal_decode(spark, sf_dir):
-    """Binary image column → typed features via mapInPandas (deterministic
-    synthetic payload table built in-flight; rows-only check)."""
+def q_multimodal_pipeline(spark, sf_dir):
+    """Composite multimodal pass (rows-only): the former multimodal_decode
+    + multimodal_verify + multimodal_frame_sample queries merged into one
+    tall result so the full multimodal surface fits the driver's 50-entry
+    recording cap. Three mapInPandas kernels over the shared deterministic
+    fixtures — binary image decode→typed features, per-row PSNR/caption
+    verification vs reference, video frame sampling — each tagged by
+    `kind` in a unified schema; per-kernel invariants stay pinned in
+    tests/test_multimodal.py."""
     from supercrawler_spark import fixtures
     from supercrawler_spark.datapipe import multimodal as MM
     images = spark.createDataFrame(fixtures.make_images(32, seed=42))
-    return MM.decode_features(images).orderBy("image_id")
+    videos = spark.createDataFrame(fixtures.make_videos(8, n_frames=12, seed=42))
+    dec = MM.decode_features(images).select(
+        F.lit("decode").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(None).cast("int").alias("frame_idx"), "w", "h", "fmt", "phash",
+        F.col("mean_luma").alias("metric"),
+        F.col("decode_error").isNull().alias("ok"))
+    ver = MM.verify_against_reference(images).select(
+        F.lit("verify").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("long").alias("phash"),
+        F.col("psnr_db").alias("metric"),
+        (F.col("pixels_ok") & F.col("caption_ok")).alias("ok"))
+    frm = MM.frame_sample(videos, every_n=4).select(
+        F.lit("frame").alias("kind"), F.col("video_id").alias("item_id"),
+        "frame_idx", "w", "h", F.lit(None).cast("string").alias("fmt"),
+        "phash", F.lit(None).cast("double").alias("metric"),
+        F.col("decode_error").isNull().alias("ok"))
+    return (dec.unionByName(ver).unionByName(frm)
+            .orderBy("kind", "item_id", "frame_idx"))
 
 
 def q_image_phash_dup_pairs(spark, sf_dir):
@@ -483,24 +490,6 @@ def q_image_phash_dup_pairs(spark, sf_dir):
     pdf = pd.concat([images, pd.DataFrame([dup])], ignore_index=True)
     return (MM.phash_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
             .orderBy("id_a", "id_b"))
-
-
-def q_multimodal_verify(spark, sf_dir):
-    """Per-row payload invariant: PSNR>=40dB / exact + caption equality."""
-    from supercrawler_spark import fixtures
-    from supercrawler_spark.datapipe import multimodal as MM
-    images = spark.createDataFrame(fixtures.make_images(32, seed=42))
-    return MM.verify_against_reference(images).orderBy("image_id")
-
-
-def q_multimodal_frame_sample(spark, sf_dir):
-    """Video frame-sampling over opaque binary containers (mapInPandas
-    UDTF: one blob in → one row per sampled frame; rows-only, pixel/phash
-    invariants pinned in pytest)."""
-    from supercrawler_spark import fixtures
-    from supercrawler_spark.datapipe import multimodal as MM
-    videos = spark.createDataFrame(fixtures.make_videos(8, n_frames=12, seed=42))
-    return MM.frame_sample(videos, every_n=4).orderBy("video_id", "frame_idx")
 
 
 def q_audio_features(spark, sf_dir):
@@ -630,7 +619,12 @@ def q_url_primitives(spark, sf_dir):
         SF.resolve_udf(base, rel).alias("resolved_rel"),
         SF.resolve_udf(base, root).alias("resolved_root"),
         SF.robots_url_udf(messy).alias("robots_url"),
-        SF.hostname_udf(messy).alias("host"))
+        SF.hostname_udf(messy).alias("host"),
+        # C5 content-addressed URL hashing (former md5_url_hash query,
+        # folded in to fit the driver's 50-entry recording cap)
+        F.md5(base).alias("url_md5"),
+        DD.md5_long(base).alias("url_hash60"),
+        (DD.md5_long(base) % 1000).alias("priority_bucket"))
 
 
 def q_streaming_dedup(spark, sf_dir):
@@ -718,12 +712,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backoff_schedule": q_backoff_schedule,
         "recrawl_schedule": q_recrawl_schedule,
         "union_link_sources": q_union_link_sources,
-        "md5_url_hash": q_md5_url_hash,
-        "content_type_strip": q_content_type_strip,
+        "record_scalars": q_record_scalars,
         "error_truncate": q_error_truncate,
-        "json_extract": q_json_extract,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
+        # formerly truncated from the driver's 50-entry recording (r3/r4):
+        # pinned mid-list so every registered query gets a recorded row
+        "crawl_e2e": q_crawl_e2e,
+        "audio_features": q_audio_features,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "image_phash_dup_pairs": q_image_phash_dup_pairs,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -740,9 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "token_count": q_token_count,
+        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "bpe_token_count": q_bpe_token_count,
         "rolling_fingerprint": q_rolling_fingerprint,
         "pii_redact": q_pii_redact,
         "contamination_screen": q_contamination_screen,
@@ -758,15 +755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "stateful_host_counts": q_stateful_host_counts,
         "streaming_link_ingest": q_streaming_link_ingest,
-        # crawl_e2e/audio_features BEFORE the multimodal rows-only tail:
-        # in round 3 the driver truncated the last two dict entries, so the
-        # oracle-checked queries must not sit at the end
-        "crawl_e2e": q_crawl_e2e,
-        "audio_features": q_audio_features,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_verify": q_multimodal_verify,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "image_phash_dup_pairs": q_image_phash_dup_pairs,
     }
 
 
@@ -907,31 +895,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'sitemap' AS source FROM events
             WHERE event_type = 'purchase'
         """,
-        "md5_url_hash": f"""
-            SELECT c_custkey,
-                   md5('http://example.com/c/' || c_custkey) AS url_md5,
-                   {md5_60.format(x="'http://example.com/c/' || c_custkey")}
-                     AS url_hash60,
-                   {md5_60.format(x="'http://example.com/c/' || c_custkey")} % 1000
-                     AS priority_bucket
-            FROM customer
-        """,
-        "content_type_strip": """
+        "record_scalars": """
             SELECT event_id,
                    regexp_replace('text/' || event_type || '; charset=utf-8',
                                   ';.*$', '') AS content_type,
                    CASE WHEN event_type IN ('click','view') THEN 'html_handler'
                         WHEN event_type = 'purchase' THEN 'sitemap_handler'
-                        ELSE 'no_handler' END AS route
+                        ELSE 'no_handler' END AS route,
+                   (props->>'$.k')::BIGINT AS k
             FROM events
         """,
         "error_truncate": """
             SELECT doc_id, substr(text, 1, 50) AS err_trunc,
                    length(substr(text, 1, 50))::BIGINT AS trunc_len
             FROM documents
-        """,
-        "json_extract": """
-            SELECT event_id, (props->>'$.k')::BIGINT AS k FROM events
         """,
         "streaming_window_counts": """
             SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS window_start,
@@ -1054,9 +1031,15 @@ def oracle_sql() -> dict[str, str]:
                      || doc_id || '.html' AS resolved_root,
                    'http://site' || (doc_id % 50)
                      || '.example:8080/robots.txt' AS robots_url,
-                   'site' || (doc_id % 50) || '.example' AS host
+                   'site' || (doc_id % 50) || '.example' AS host,
+                   md5('http://site' || (doc_id % 50) || '.example/dir/page'
+                       || doc_id || '.html') AS url_md5,
+                   {md5_hash60} AS url_hash60,
+                   {md5_hash60} % 1000 AS priority_bucket
             FROM documents
-        """,
+        """.format(md5_hash60=md5_60.format(
+            x="'http://site' || (doc_id % 50) || '.example/dir/page' "
+              "|| doc_id || '.html'")),
         "simhash": _simhash_sql(),
         "simhash_near_pairs": _simhash_near_pairs_sql(8),
         "lang_id": _lang_id_sql(),
@@ -1091,8 +1074,11 @@ def oracle_sql() -> dict[str, str]:
                            THEN 0.1 ELSE 0.0 END), 4) AS quality_score
             FROM documents
         """,
-        "token_count": f"""
-            SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents
+        "token_counts": f"""
+            SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z0-9_]+|[^\\sa-z0-9_]'))::BIGINT AS n_pieces
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id,
@@ -1178,12 +1164,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(a.mx / a.tot::DOUBLE, 4)
                         ELSE 0.0 END AS repetition_ratio
             FROM tk t LEFT JOIN a ON t.doc_id = a.doc_id
-        """,
-        "bpe_token_count": """
-            SELECT doc_id,
-                   len(regexp_extract_all(lower(text),
-                       '[a-z0-9_]+|[^\\sa-z0-9_]'))::BIGINT AS n_pieces
-            FROM documents
         """,
         # corpus unigram distribution → per-doc mean -ln p(token)
         "unigram_logprob": f"""

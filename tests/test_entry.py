@@ -45,7 +45,7 @@ def test_queries_all_have_callables(entrymod):
 
 @pytest.mark.parametrize("name", [
     "flagship_frontier_pop", "q1_pricing_summary", "dedup_exact",
-    "token_count", "md5_url_hash", "minhash_signatures",
+    "token_counts", "record_scalars", "minhash_signatures",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, sf_dir, name):
     spdf = entrymod.queries()[name](spark, sf_dir).toPandas()
