@@ -468,17 +468,14 @@ def q_multimodal_pipeline(spark, sf_dir):
             .orderBy("kind", "item_id", "frame_idx"))
 
 
-def q_image_phash_dup_pairs(spark, sf_dir):
-    """Image-axis near-dup dedup (input_hint phash:int64 made first-class):
-    64-bit perceptual-hash banded hamming pairs over a deterministic
-    synthetic image table with a planted noisy re-encode — the shared
-    pigeonhole kernel of simhash_near_pairs at bits=64 (rows-only; planted
-    -pair + brute-force-completeness invariants pinned in pytest)."""
+def _phash_fixture_pdf():
+    """The deterministic 33-row image table shared by the Spark query and
+    its SQL oracle: fixtures.make_images(32, seed=42) plus one planted
+    noisy re-encode of image 0 (rng seed 7, lossless png)."""
     import numpy as np
     import pandas as pd
 
     from supercrawler_spark import fixtures, imaging
-    from supercrawler_spark.datapipe import multimodal as MM
     images = fixtures.make_images(32, seed=42)
     rng = np.random.default_rng(7)
     px, w, h, _ = imaging.decode_image(bytes(images.iloc[0]["bytes"]))
@@ -487,9 +484,48 @@ def q_image_phash_dup_pairs(spark, sf_dir):
     dup = {"image_id": "img-dup0", "bytes": imaging.encode_image(noisy, "png"),
            "w": w, "h": h, "fmt": "png", "caption": "noisy copy",
            "phash": imaging.phash64(noisy)}
-    pdf = pd.concat([images, pd.DataFrame([dup])], ignore_index=True)
+    return pd.concat([images, pd.DataFrame([dup])], ignore_index=True)
+
+
+def q_image_phash_dup_pairs(spark, sf_dir):
+    """Image-axis near-dup dedup (input_hint phash:int64 made first-class):
+    decode -> 64-bit perceptual hash -> banded hamming pairs over a
+    deterministic synthetic image table with a planted noisy re-encode —
+    the shared pigeonhole kernel of simhash_near_pairs at bits=64.
+    Oracle twin: DuckDB brute-forces ALL O(n^2) pairs from the same
+    deterministic decoded-pixel hashes (bit_count(xor(..)), viable only at
+    oracle scale), so the banding's completeness is independently checked
+    end-to-end, not just in pytest."""
+    from supercrawler_spark.datapipe import multimodal as MM
+    pdf = _phash_fixture_pdf()
     return (MM.phash_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
             .orderBy("id_a", "id_b"))
+
+
+def _phash_oracle_sql() -> str:
+    """Brute-force SQL twin of q_image_phash_dup_pairs: the INPUT rows are
+    regenerated from the identical deterministic generator (decode each
+    image's bytes, hash the decoded pixels — exactly what the Spark
+    mapInPandas stage hashes) and inlined as VALUES; the PAIR COMPUTATION
+    is an independent all-pairs join in DuckDB, vs Spark's banded
+    pigeonhole join — same answer proves banding lost no pair."""
+    from supercrawler_spark import imaging
+    pdf = _phash_fixture_pdf()
+    vals = []
+    for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+        px, _, _, _ = imaging.decode_image(bytes(data))
+        vals.append(f"('{iid}', {int(imaging.phash64(px))}::BIGINT)")
+    values = ",\n                   ".join(vals)
+    return f"""
+            WITH sigs(image_id, phash) AS (
+              VALUES {values}
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 10
+            ORDER BY id_a, id_b
+        """
 
 
 def q_audio_features(spark, sf_dir):
@@ -927,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
                    round((0.1 + 0.05 * (i % 8)) / sqrt(2.0), 4) AS rms
             FROM range(16) t(i)
         """,
+        "image_phash_dup_pairs": _phash_oracle_sql(),
         "stateful_host_counts": """
             SELECT user_id, count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id
