@@ -84,6 +84,22 @@ def phash_dup_pairs(df: DataFrame, id_col: str = "image_id",
                                   bits=64, max_hamming=max_hamming)
 
 
+def phash_dup_clusters(df: DataFrame, id_col: str = "image_id",
+                       bytes_col: str = "bytes", max_hamming: int = 6,
+                       phash_col: str | None = None) -> DataFrame:
+    """The image-dedup final step: phash near-pairs → connected components
+    → (image_id, cluster_id) keep/drop groups, mirroring text corpus dedup
+    (minhash/simhash pairs → dedup.dup_clusters). cluster_id is the min
+    image id in the component; images with no near pair are trivially
+    their own keepers and are not emitted (at 100 TB the pair set — not
+    the corpus — is the clustering input, so the label-propagation joins
+    run over O(duplicates), never O(corpus))."""
+    from . import dedup as _dd
+    pairs = phash_dup_pairs(df, id_col=id_col, bytes_col=bytes_col,
+                            max_hamming=max_hamming, phash_col=phash_col)
+    return _dd.dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+
+
 VERIFY_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("psnr_db", T.DoubleType()),

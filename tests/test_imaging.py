@@ -127,3 +127,44 @@ def test_phash_dup_pairs_finds_planted_image_near_dup(spark):
                          if a == "img-0000" and b == "img-dup")
         others = [h for a, b, h in pairs if b != "img-dup"]
         assert all(planted_h <= h for h in others), (planted_h, others)
+
+
+def test_phash_dup_clusters_groups_planted_dups(spark):
+    """pairs → connected components: two images each with a planted noisy
+    re-encode yield exactly two clusters labeled by their min image id;
+    images without a near pair are not emitted (they are trivial keepers —
+    the clustering runs over O(duplicates), never O(corpus))."""
+    import numpy as np
+    import pandas as pd
+
+    from supercrawler_spark import fixtures, imaging
+    from supercrawler_spark.datapipe import multimodal as MM
+
+    images = fixtures.make_images(8)
+    rng = np.random.default_rng(11)
+    planted = []
+    for src_idx, dup_id in ((0, "img-dup-a"), (3, "img-dup-b")):
+        px, w, h, _ = imaging.decode_image(bytes(images.iloc[src_idx]["bytes"]))
+        noisy = np.clip(px.astype(np.int64) + rng.integers(-2, 3, px.shape),
+                        0, 255).astype(np.uint8)
+        planted.append({"image_id": dup_id,
+                        "bytes": imaging.encode_image(noisy, "png"),
+                        "w": w, "h": h, "fmt": "png", "caption": "noisy",
+                        "phash": imaging.phash64(noisy)})
+    pdf = pd.concat([images, pd.DataFrame(planted)], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    rows = MM.phash_dup_clusters(df, max_hamming=10).collect()
+    label_of = {r["image_id"]: r["cluster_id"] for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["image_id"])
+    # each planted re-encode lands in the same component as its source
+    # (synthetic images can also pair accidentally at h<=10, so clusters
+    # may contain more members — membership, not set equality, is the
+    # invariant)
+    assert label_of["img-dup-a"] == label_of["img-0000"]
+    assert label_of["img-dup-b"] == label_of["img-0003"]
+    # every emitted cluster is labeled by its min member
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
