@@ -224,7 +224,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
                        bits: int, max_hamming: int,
-                       out_a: str = "id_a", out_b: str = "id_b") -> DataFrame:
+                       out_a: str = "id_a", out_b: str = "id_b",
+                       scheme: str = "auto") -> DataFrame:
     """Generic banded hamming-distance near-pair join over ANY integer
     signature column (``bits`` wide, stored in a signed 64-bit column):
     pigeonhole-complete banding (see scheme comment below: double-chunk
@@ -258,7 +259,24 @@ def hamming_near_pairs(df: DataFrame, sig_col: str, id_col: str,
     # C(k,2)/k more exploded rows. At h=8/60 bits: 45 bands of ~12-bit
     # keys vs 9 bands of ~7-bit keys → ~6x fewer candidate pairs streamed
     # through the verify, the dominant corpus-scale cost.
-    use_pairs = (max_hamming + 2) <= bits and max_hamming >= 1
+    # scheme choice is a corpus-size tradeoff: 'pairs' explodes
+    # C(h+2,2)/(h+1) more rows but its double-wide bucket keys collide
+    # ~2^-w less often — collisions scale ~n^2/2^w while the explode
+    # scales ~n, so 'pairs' wins on large corpora and loses on small ones
+    # (measured: 2x slower at n=5k, where verify is cheap and the 45-band
+    # explode dominates). 'auto' counts the (already-checkpointed)
+    # signature table — one cached count — and switches at 50k rows;
+    # 'single' is the classic h+1 banding, 'pairs' forces double-chunk.
+    if scheme not in ("auto", "single", "pairs"):
+        raise ValueError(f"unknown banding scheme {scheme!r}")
+    pairs_possible = (max_hamming + 2) <= bits and max_hamming >= 1
+    if scheme == "pairs" and not pairs_possible:
+        raise ValueError("pairs banding needs max_hamming >= 1 and "
+                         "max_hamming + 2 <= bits")
+    if scheme == "auto":
+        use_pairs = pairs_possible and sig.count() >= 50_000
+    else:
+        use_pairs = pairs_possible and scheme == "pairs"
     if use_pairs:
         k = max_hamming + 2
         defs = _chunk_defs(bits, k)
