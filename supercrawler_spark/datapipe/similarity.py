@@ -163,6 +163,32 @@ def ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                   .select("q_id", "n_id", "cos", "rank"))
 
 
+def _det_centroids(df: DataFrame, centroid_ids: tuple, id_col: str,
+                   vec_col: str, quant_scale: float) -> np.ndarray:
+    """Deterministic sampled-centroid matrix, integer-quantized with
+    floor(|x|*scale+0.5) (ties away from zero == SQL round)."""
+    cent_rows = (df.filter(F.col(id_col).isin(list(centroid_ids)))
+                 .select(id_col, vec_col).orderBy(id_col).collect())
+    cmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in cent_rows])
+    return (np.sign(cmat) *
+            np.floor(np.abs(cmat) * quant_scale + 0.5)).astype(np.int64)
+
+
+def _det_bucket_udf(centers: np.ndarray, top_n: int, quant_scale: float):
+    """Arrow-batched nearest-centroid assignment by exact integer L2,
+    (d2, cid) tie-break — bit-identical to the SQL twin's ORDER BY."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        qm = (np.sign(mat) *
+              np.floor(np.abs(mat) * quant_scale + 0.5)).astype(np.int64)
+        d2 = ((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :top_n]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+    return buckets
+
+
 def det_ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      centroid_ids: tuple = tuple(range(16)), n_probe: int = 4,
@@ -178,26 +204,9 @@ def det_ivf_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     buckets — the probed fraction is n_probe/len(centroid_ids) of the
     corpus, never an all-pairs join. Ties in the assignment distance break
     by centroid index (stable argsort == SQL ORDER BY d2, cid)."""
-    cent_rows = (df.filter(F.col(id_col).isin(list(centroid_ids)))
-                 .select(id_col, vec_col).orderBy(id_col).collect())
-    cmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
-                      for r in cent_rows])
-    centers = (np.sign(cmat) *
-               np.floor(np.abs(cmat) * quant_scale + 0.5)).astype(np.int64)
-
-    def make_bucket_udf(top_n: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def buckets(vecs: pd.Series) -> pd.Series:
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            qm = (np.sign(mat) *
-                  np.floor(np.abs(mat) * quant_scale + 0.5)).astype(np.int64)
-            d2 = ((qm[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :top_n]
-            return pd.Series([row.astype("int32").tolist() for row in idx])
-        return buckets
-
-    assign1 = make_bucket_udf(1)
-    assignp = make_bucket_udf(n_probe)
+    centers = _det_centroids(df, centroid_ids, id_col, vec_col, quant_scale)
+    assign1 = _det_bucket_udf(centers, 1, quant_scale)
+    assignp = _det_bucket_udf(centers, n_probe, quant_scale)
     c = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
                   F.explode(assign1(F.col(vec_col))).alias("bucket"))
     q = queries.select(F.col(id_col).alias("q_id"),
@@ -470,3 +479,113 @@ def lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("q_id", "n_id", "cos", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) corpus deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroid_ids: tuple = tuple(range(16)),
+                   round_to: int = 4,
+                   quant_scale: float = 1000.0) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    with a coarse quantizer, then drop all-but-one of each within-cluster
+    group of semantically identical documents (cosine >= threshold).
+
+    Scale shape: the candidate join is WITHIN quantizer cells only — the
+    O(n^2) pair space never materializes; with C balanced cells the pair
+    work is n^2/C, and cells shuffle independently. The quantizer is the
+    same deterministic sampled-centroid integer-L2 assignment as
+    det_ivf_ann_topk, so an ANSI-SQL oracle replays the whole operator
+    bit-for-bit (semantic_dedup_oracle_sql — verified in pytest against
+    DuckDB). Groups come from the shared hash-min connected-components
+    kernel (dedup.dup_clusters) over the verified pair set (O(duplicates),
+    never O(corpus)).
+
+    Returns (id_col, bucket, cluster_id, keep): every corpus row, its
+    quantizer cell, its duplicate-group label (null when the row has no
+    semantic duplicate), and keep = the canonical representative flag
+    (min id of the group; rows without duplicates are always kept).
+    """
+    from . import dedup as _dd
+    centers = _det_centroids(df, centroid_ids, id_col, vec_col, quant_scale)
+    assign1 = _det_bucket_udf(centers, 1, quant_scale)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(assign1(F.col(vec_col))).alias("bucket"))
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("v_a"), "bucket")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("v_b"), "bucket")
+    pairs = (a.join(b, "bucket")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("cos", F.round(cosine(F.col("v_a"), F.col("v_b")),
+                                         round_to))
+              .filter(F.col("cos") >= threshold)
+              .select("id_a", "id_b"))
+    clusters = _dd.dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    out = assigned.select(id_col, "bucket").join(clusters, id_col, "left")
+    return out.select(
+        id_col, "bucket", "cluster_id",
+        (F.col("cluster_id").isNull() |
+         (F.col("cluster_id") == F.col(id_col))).alias("keep"))
+
+
+def semantic_dedup_oracle_sql(threshold: float = 0.95,
+                              centroid_ids: tuple = tuple(range(16)),
+                              table: str = "embeddings") -> str:
+    """ANSI-SQL twin of semantic_dedup: identical integer-L2 cell
+    assignment (see det_ivf_oracle_sql), within-cell cosine pairs at the
+    same 4dp rounding, connected components via recursive reachability
+    (closure-based — viable at oracle scale only), keep = min of group."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+        WITH RECURSIVE emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> round(x * 1000)::BIGINT) AS q
+          FROM {table}
+        ),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+          FROM emb WHERE vec_id IN ({ids})
+        ),
+        assigned AS (
+          SELECT vec_id, cid AS bucket FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.q, e.q) + list_dot_product(c.cq, c.cq)
+                     - 2 * list_dot_product(e.q, c.cq), c.cid) AS rk
+            FROM emb e CROSS JOIN cent c
+          ) WHERE rk = 1
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM assigned x JOIN assigned y ON x.bucket = y.bucket
+                                         AND x.vec_id < y.vec_id
+          JOIN emb a ON a.vec_id = x.vec_id
+          JOIN emb b ON b.vec_id = y.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}
+        ),
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        labels AS (
+          SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        )
+        SELECT a.vec_id, a.bucket, l.cluster_id,
+               (l.cluster_id IS NULL OR l.cluster_id = a.vec_id) AS keep
+        FROM assigned a LEFT JOIN labels l USING (vec_id)
+        ORDER BY a.vec_id
+    """

@@ -543,3 +543,48 @@ def test_hamming_near_pairs_full_width_chunk_max_hamming_zero(spark):
            DD.hamming_near_pairs(df, "sig", "id", bits=64,
                                  max_hamming=0).collect()}
     assert got == {(0, 1, 0), (2, 3, 0)}
+
+
+def test_semantic_dedup_duckdb_parity_and_planted_dups(spark, sf_dir):
+    """SemDeDup end-to-end vs the ANSI-SQL twin in DuckDB: identical
+    cell assignment, pair set, group labels and keep flags over the sf
+    embeddings table plus planted semantic duplicates (a copy and a
+    scaled copy — cosine 1.0 — of vector 20, plus a near-copy)."""
+    import duckdb
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.transform(
+               "embedding", lambda x: x.cast("double")).alias("embedding")))
+    base = emb.limit(64).toPandas()
+    v20 = np.asarray(
+        base.loc[base.vec_id == 20, "embedding"].iloc[0], dtype=np.float64)
+    near = v20.copy()
+    near[0] += 0.01 * (abs(near[0]) + 1.0)
+    planted = pd.DataFrame({
+        "vec_id": [1000, 1001, 1002],
+        "embedding": [v20.tolist(), (v20 * 2.0).tolist(), near.tolist()],
+    })
+    pdf = pd.concat([base, planted], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    got = (SIM.semantic_dedup(df, threshold=0.98)
+           .orderBy("vec_id").toPandas())
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(
+        SIM.semantic_dedup_oracle_sql(threshold=0.98)).fetchdf()
+    con.close()
+
+    assert len(got) == len(pdf) == len(want)
+    def norm(series):
+        return [None if pd.isna(v) else (bool(v) if isinstance(v, (bool, np.bool_))
+                                         else int(v)) for v in series]
+    for col in ["vec_id", "bucket", "cluster_id", "keep"]:
+        assert norm(got[col]) == norm(want[col]), f"mismatch in {col}"
+
+    by_id = {int(r.vec_id): r for r in got.itertuples()}
+    # copies of vector 20 form one duplicate group kept at its min id
+    assert by_id[20].cluster_id == 20 and bool(by_id[20].keep)
+    assert by_id[1000].cluster_id == 20 and not by_id[1000].keep
+    assert by_id[1001].cluster_id == 20 and not by_id[1001].keep
