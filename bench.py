@@ -26,7 +26,7 @@ BENCH_DIR = os.environ.get("SC_BENCH_DIR", "/tmp/sc_bench")
 
 HEADLINE = [
     "flagship_frontier_pop", "q1_pricing_summary", "q3_top_revenue",
-    "host_decay_priority", "anti_join_dedup", "dedup_exact",
+    "host_decay_priority", "anti_join_dedup", "dedup_exact_fp",
     "minhash_lsh_pairs", "simhash_near_pairs", "token_jaccard",
     "lang_id", "quality_score", "embedding_cosine_topk", "ann_lsh_topk",
     "multimodal_pipeline",

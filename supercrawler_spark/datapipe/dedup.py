@@ -404,6 +404,75 @@ def contamination_screen(df: DataFrame, blocklist: DataFrame,
                       ratio.alias("contamination_ratio"))
 
 
+def ngram_span_dedup(df: DataFrame, n: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed from their suffix-array pass as a Spark-native
+    n-gram occurrence plan: a token is dropped iff some duplicated n-token
+    span occurrence covers it AND that occurrence is not the span's
+    canonical (corpus-first by (doc_id, pos)) occurrence — i.e. every
+    duplicated span keeps exactly its first occurrence, like the paper's
+    ExactSubstr dedup at a fixed span length.
+
+    Tokenization is an exact single-space split so the ANSI-SQL twin
+    (string_split) replays it bit-for-bit.
+
+    Scale shape: occurrences explode once (len-n+1 rows/doc, linear in
+    corpus tokens); span identity is md5 of the joined gram so the
+    group-by key is fixed-width; the per-span (count, canonical) agg is
+    map-side combinable (never a window over the span key — a boilerplate
+    span occurring 10^9 times would put 10^9 rows in one window
+    partition, while partial aggregation reduces them in-mapper); covered
+    token positions re-explode only from NON-canonical duplicate
+    occurrences (linear in the duplicate volume, n is a small constant);
+    kept tokens come from one (doc, pos) anti-join and reassemble with
+    array_sort. Nothing driver-resident, no O(n²) pair space.
+
+    Returns (id, text_dedup, n_tokens, n_removed); documents may come
+    back empty but are never lost."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+    base = toks.withColumn("_len", F.size("_t"))
+    occ = (base.filter(F.col("_len") >= n)
+           .select(F.col(id_col),
+                   F.col("_t"),
+                   F.explode(F.sequence(F.lit(0), F.col("_len") - n))
+                    .alias("pos"))
+           .select(F.col(id_col), F.col("pos"),
+                   F.md5(F.concat_ws(
+                       " ", F.slice(F.col("_t"), F.col("pos") + 1, F.lit(n))))
+                    .alias("_g")))
+    stats = occ.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+         .alias("_canon"))
+    dup_occ = (occ.join(stats.filter(F.col("_cnt") > 1), "_g")
+               .filter(~((F.col(id_col) == F.col("_canon.d")) &
+                         (F.col("pos") == F.col("_canon.p")))))
+    covered = (dup_occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+         .alias("tpos"))
+        .distinct())
+    tokpos = base.select(F.col(id_col),
+                         F.posexplode("_t").alias("tpos", "tok"))
+    kept = tokpos.join(covered, [id_col, "tpos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+            lambda s: s["tok"])).alias("text_dedup"),
+        F.count(F.lit(1)).alias("_n_kept"))
+    return (base.select(F.col(id_col), F.col("_len").alias("n_tokens"))
+            .join(reassembled, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("text_dedup"), F.lit(""))
+                     .alias("text_dedup"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    (F.col("n_tokens") -
+                     F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                max_doc_freq: int = 1) -> DataFrame:
     """Corpus-global line-level dedup (the RefinedWeb/Falcon pipeline

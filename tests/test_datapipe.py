@@ -588,3 +588,92 @@ def test_semantic_dedup_duckdb_parity_and_planted_dups(spark, sf_dir):
     assert by_id[20].cluster_id == 20 and bool(by_id[20].keep)
     assert by_id[1000].cluster_id == 20 and not by_id[1000].keep
     assert by_id[1001].cluster_id == 20 and not by_id[1001].keep
+
+
+def test_ngram_span_dedup_planted_cross_doc(spark):
+    """Duplicated 8-token span keeps only the corpus-first occurrence;
+    docs shorter than n and unique docs survive untouched."""
+    span = "a b c d e f g h"
+    rows = [
+        (0, span + " x y"),          # canonical occurrence (pos 0)
+        (1, "z w " + span + " q"),   # duplicate at pos 2 -> removed
+        (2, "p q"),                  # shorter than n -> kept verbatim
+        (3, "unique words only here never repeated anywhere else ever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           DD.ngram_span_dedup(df, n=8).collect()}
+    assert got[0]["text_dedup"] == span + " x y" and got[0]["n_removed"] == 0
+    assert got[1]["text_dedup"] == "z w q" and got[1]["n_removed"] == 8
+    assert got[2]["text_dedup"] == "p q" and got[2]["n_removed"] == 0
+    assert got[3]["n_removed"] == 0
+
+
+def test_ngram_span_dedup_within_doc_repeat(spark):
+    """A span repeated inside ONE document: the second occurrence is
+    non-canonical and its tokens drop."""
+    span = "a b c d e f g h"
+    df = spark.createDataFrame([(0, span + " " + span)], ["doc_id", "text"])
+    row = DD.ngram_span_dedup(df, n=8).collect()[0]
+    assert row["text_dedup"] == span
+    assert row["n_tokens"] == 16 and row["n_removed"] == 8
+
+
+def test_ngram_span_dedup_never_loses_docs(spark):
+    """A document made ENTIRELY of duplicated spans comes back empty, not
+    missing."""
+    span = "a b c d e f g h"
+    rows = [(0, span + " tail tokens beyond"), (1, span)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in DD.ngram_span_dedup(df, n=8).collect()}
+    assert got[1]["text_dedup"] == "" and got[1]["n_removed"] == 8
+    assert len(got) == 2
+
+
+def _py_u32(v) -> int:
+    import hashlib
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_stratified_temperature_sample_exact_rule(spark):
+    """Keep decisions replay the documented integer rule exactly, and
+    temperature-0.5 upweights the small stratum relative to proportional
+    sampling."""
+    import math
+    from supercrawler_spark.datapipe import sampling as SP
+    rows = ([(i, "big") for i in range(400)] +
+            [(1000 + i, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    got = {r["doc_id"]: r["keep"] for r in
+           SP.stratified_temperature_sample(
+               df, stratum_col="stratum", id_col="doc_id").collect()}
+    assert len(got) == 425
+    c = {"big": 400, "small": 25}
+    r = {s: math.isqrt(n) for s, n in c.items()}
+    S, total = sum(r.values()), sum(c.values())
+    for doc_id, stratum in rows:
+        expect = _py_u32(doc_id) * S * c[stratum] < total * r[stratum] * (1 << 32)
+        assert got[doc_id] == expect, doc_id
+    # temperature: small stratum keeps a larger FRACTION than the big one
+    frac = {s: sum(1 for d, st in rows if st == s and got[d]) / c[s]
+            for s in c}
+    assert frac["small"] > frac["big"]
+
+
+def test_domain_capped_sample_cap_and_determinism(spark):
+    from supercrawler_spark.datapipe import sampling as SP
+    rows = ([(i, "hot") for i in range(50)] + [(100 + i, "cold") for i in range(2)])
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out1 = sorted((r["stratum"], r["doc_id"], r["sample_rank"]) for r in
+                  SP.domain_capped_sample(df, cap=3, stratum_col="stratum").collect())
+    out2 = sorted((r["stratum"], r["doc_id"], r["sample_rank"]) for r in
+                  SP.domain_capped_sample(df, cap=3, stratum_col="stratum").collect())
+    assert out1 == out2
+    by_stratum = {}
+    for s, d, rk in out1:
+        by_stratum.setdefault(s, []).append((rk, d))
+    assert len(by_stratum["hot"]) == 3 and len(by_stratum["cold"]) == 2
+    # ranks follow the deterministic hash order
+    for s, members in by_stratum.items():
+        expect = sorted(((_py_u32(d), d) for _, d in members))
+        assert [d for _, d in sorted(members)] == [d for _, d in expect]

@@ -44,8 +44,10 @@ def test_queries_all_have_callables(entrymod):
 
 
 @pytest.mark.parametrize("name", [
-    "flagship_frontier_pop", "q1_pricing_summary", "dedup_exact",
+    "flagship_frontier_pop", "q1_pricing_summary", "dedup_exact_fp",
     "token_counts", "record_scalars", "minhash_signatures",
+    "ngram_span_dedup", "corpus_resample", "retry_schedules",
+    "sitemap_extracts", "semantic_dedup",
 ])
 def test_query_matches_oracle(spark, entrymod, duck, sf_dir, name):
     spdf = entrymod.queries()[name](spark, sf_dir).toPandas()
