@@ -29,7 +29,7 @@ HEADLINE = [
     "host_decay_priority", "anti_join_dedup", "dedup_exact_fp",
     "minhash_lsh_pairs", "simhash_near_pairs", "token_jaccard",
     "lang_id", "quality_score", "embedding_cosine_topk", "ann_lsh_topk",
-    "multimodal_pipeline",
+    "multimodal_pipeline", "ngram_span_dedup",
 ]
 
 

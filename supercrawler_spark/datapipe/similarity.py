@@ -512,9 +512,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     from . import dedup as _dd
     centers = _det_centroids(df, centroid_ids, id_col, vec_col, quant_scale)
     assign1 = _det_bucket_udf(centers, 1, quant_scale)
+    # cache the quantizer assignment: it feeds both sides of the
+    # within-cell self-join AND the final output join (3 corpus passes
+    # through the Arrow UDF otherwise); persist — not localCheckpoint —
+    # so at cluster scale it spills by partition instead of pinning the
+    # corpus
     assigned = df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(assign1(F.col(vec_col))).alias("bucket"))
+        F.explode(assign1(F.col(vec_col))).alias("bucket")).persist()
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("v_a"), "bucket")
     b = assigned.select(F.col(id_col).alias("id_b"),
