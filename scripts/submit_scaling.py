@@ -35,7 +35,24 @@ def main():
     from supercrawler_spark.crawler import _KERNEL_OUT_SCHEMA, _make_handler_kernel
     from supercrawler_spark.handlers import default_registry
 
-    web = spark.read.parquet(os.path.join(BENCH_DIR, "web_pages_big")).persist()
+    web = spark.read.parquet(os.path.join(BENCH_DIR, "web_pages_big"))
+    # SC_SUBMIT_SCALE replicates the corpus k times (distinct urls per
+    # replica) so the distributed work dominates multi-JVM fixed costs —
+    # local-cluster walls under ~30s are mostly netty/scheduler overhead
+    # and python-worker spin-up, which a real 100TB job amortizes away.
+    k = int(os.environ.get("SC_SUBMIT_SCALE", "1"))
+    if k > 1:
+        replicas = [
+            web.withColumn(
+                "url", F.concat(F.col("url"), F.lit(f"?r={i}")))
+            for i in range(k)
+        ]
+        base = replicas[0]
+        for r in replicas[1:]:
+            base = base.unionByName(r)
+        web = base.repartition(
+            spark.sparkContext.defaultParallelism * 4)
+    web = web.persist()
     seen = spark.read.parquet(os.path.join(BENCH_DIR, "seen_big")).persist()
     seen.count()
     n_pages = web.count()
@@ -64,8 +81,11 @@ def main():
         n = popped.count()
         return time.time() - t0, n
 
-    run_once()  # untimed warmup
-    walls = [run_once()[0] for _ in range(2)]
+    run_once()  # untimed warmup (cache fill + python worker spin-up)
+    if k > 1:
+        run_once()  # second warmup: JIT tiers settle on the bigger job
+    n_timed = int(os.environ.get("SC_SUBMIT_RUNS", "3"))
+    walls = [run_once()[0] for _ in range(n_timed)]
     print(json.dumps({
         "master": spark.sparkContext.master,
         "pages": int(n_pages),
