@@ -209,10 +209,21 @@ def _cluster_best() -> dict | None:
             "admissible_normalized"
     else:
         best, kind = max(recs, key=lambda r: r["efficiency_n_to_4n"]), \
-            "best_raw_unqualified"
+            "best_single_attempt_unqualified"
     out = dict(best)
     out["selection"] = kind
     out["n_attempts_logged"] = len(recs)
+    if not qual:
+        # de-biased cross-attempt estimator (same rationale as the local
+        # hunt's fallback): each level's wall from its least-stalled
+        # window — refuses to cherry-pick a single window where steal
+        # inflated the SMALL side
+        ws = min(r["wall_s_small"] for r in recs)
+        wb = min(r["wall_s_big"] for r in recs)
+        out["cross_attempt_best_pair"] = {
+            "wall_s_small": ws, "wall_s_big": wb,
+            "efficiency_n_to_4n": round(ws / wb / 4.0, 3),
+        }
     return out
 
 
