@@ -125,7 +125,14 @@ def _hunt_best() -> dict | None:
             by_scale.setdefault(r.get("scale", 1), []).append(r)
     if not by_scale:
         return None
-    pool = max(by_scale.values(), key=len)
+    # prefer the protocol's production-like input scale (the 4x corpus,
+    # BENCH/BASELINE.md: fixed per-job overhead amortized) when it has a
+    # meaningful sample; fall back to the largest pool. Without this the
+    # estimator silently drifts to whichever scale accumulated the most
+    # historical attempts.
+    pool = max(by_scale.items(),
+               key=lambda kv: (kv[0] if len(kv[1]) >= 5 else 0,
+                               len(kv[1])))[1]
     bs = min(pool, key=lambda r: r[ks])
     bb = min(pool, key=lambda r: r[kb])
     eff = round(bs[ks] / bb[kb] / (CPUS / n_small), 3)
