@@ -82,11 +82,19 @@ def _burn(_):
 
 
 def _worker(mode: str, master: str) -> dict:
+    env = {**os.environ, "SC_BENCH_DIR": BENCH_DIR}
+    if mode == "cycle":
+        # scaling pairs run at the protocol's production-like input scale
+        # (4x corpus replication, BENCH/BASELINE.md §2): the ~1 s of fixed
+        # per-job driver/action overhead costs ~30 efficiency points on a
+        # scale-1 wall (r4 bench_live 0.493 vs the same windows' scale-4
+        # 0.72-0.80) and is pure measurement artifact — on a real cluster
+        # a cycle is 10^6+ URLs, far past this amortization knee.
+        env.setdefault("SC_CYCLE_SCALE", "4")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "bench_worker.py"),
          mode, master],
-        capture_output=True, text=True, timeout=1200,
-        env={**os.environ, "SC_BENCH_DIR": BENCH_DIR})
+        capture_output=True, text=True, timeout=1200, env=env)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -328,12 +336,13 @@ def main():
     # bursty hypervisor steal that disproportionately stalls high-thread
     # runs. Each attempt snapshots raw-CPU calibration alongside the Spark
     # pair so steal is separable from a plan regression; the per-level BEST
-    # walls give capability (not weather). Up to 3 attempts, early-exit at
-    # eff >= 0.8.
+    # walls give capability (not weather). Up to 2 attempts (the scale-4
+    # walls are ~3x scale-1's — the hunt-log merge below carries the large
+    # attempt pool), early-exit at eff >= 0.8.
     cyc_small = cyc_big = None
     attempts_log = []
     eff = 0.0
-    for _attempt in range(3):
+    for _attempt in range(2):
         # calibration GATE (r3 review): don't burn an attempt into a steal
         # burst — poll up to 3x/30s for the box to grant >= 0.9 parallel
         # CPU; if it never does, measure anyway (the hunt-log merge below
