@@ -477,8 +477,8 @@ def _assemble_scaling(n_small, cyc_small, cyc_big, eff, attempts,
     # explicit in recorded_from + attempt_log + session_hunt.
     adm_raw = (norm or {}).get("best_admissible_raw")
     if (adm_raw is not None
-            and adm_raw["efficiency_n_to_4n"] > eff
-            and adm_raw["efficiency_n_to_4n"] > (
+            and adm_raw["efficiency_n_to_4n"] >= eff
+            and adm_raw["efficiency_n_to_4n"] >= (
                 hunt["efficiency_n_to_4n"] if hunt else -1.0)):
         # a single-window measured pair admitted by the documented rule
         # (cal >= 0.75 both before AND after) is stronger evidence than
