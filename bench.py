@@ -336,13 +336,15 @@ def main():
     # bursty hypervisor steal that disproportionately stalls high-thread
     # runs. Each attempt snapshots raw-CPU calibration alongside the Spark
     # pair so steal is separable from a plan regression; the per-level BEST
-    # walls give capability (not weather). Up to 2 attempts (the scale-4
-    # walls are ~3x scale-1's — the hunt-log merge below carries the large
-    # attempt pool), early-exit at eff >= 0.8.
+    # walls give capability (not weather). One in-bench attempt: the
+    # scale-4 walls are ~3x scale-1's, and the hunt-log merge below
+    # carries the large attempt pool — the live pair is a backstop, not
+    # the evidence base, so it must not push the bench past the driver's
+    # patience.
     cyc_small = cyc_big = None
     attempts_log = []
     eff = 0.0
-    for _attempt in range(2):
+    for _attempt in range(int(os.environ.get("SC_BENCH_LIVE_ATTEMPTS", "1"))):
         # calibration GATE (r3 review): don't burn an attempt into a steal
         # burst — poll up to 3x/30s for the box to grant >= 0.9 parallel
         # CPU; if it never does, measure anyway (the hunt-log merge below
