@@ -99,12 +99,30 @@ def _worker(mode: str, master: str) -> dict:
     return json.loads(line)
 
 
+# calibration sanity ceiling: the burn-scaling probe is a ratio of big/
+# small parallel throughput over ideal; steady-state grants land in
+# ~[0.4, 1.05]. A reading far ABOVE 1.0 is super-linear "scaling" — the
+# signature of the probe's own SMALL side being stalled by a steal burst
+# — so it cannot vouch for the window. Readings above the ceiling
+# invalidate qualification/admission rather than strengthening it.
+CAL_CEILING = 1.15
+
+
+def _cal_in_band(rec: dict, floor: float = 0.9) -> bool:
+    cb, ca = rec.get("cal_before", 0), rec.get("cal_after", 0)
+    return floor <= min(cb, ca) and max(cb, ca) <= CAL_CEILING
+
+
 def _hunt_best() -> dict | None:
     """Best evidence from scripts/scaling_hunt.py's attempt log.
 
-    Prefers a calibration-QUALIFIED attempt (cal >= 0.9 before AND after
-    the pair). If the host never granted one (r3's night peaked at 0.89),
-    falls back to the CROSS-ATTEMPT PER-LEVEL-BEST pair — each level's
+    Prefers a calibration-QUALIFIED attempt (cal in [0.9, CAL_CEILING]
+    before AND after the pair — a reading ABOVE the ceiling means the
+    calibration burn itself was stalled on its small side, i.e. the
+    window measurement is invalid, not extra-quiet; the log's one
+    cal_before=2.186 "qualified" 0.349 pair is exactly that artifact).
+    If the host never granted one (r3's night peaked at 0.89), falls
+    back to the CROSS-ATTEMPT PER-LEVEL-BEST pair — each level's
     wall taken from its least-stalled window — the same capability
     estimator the live protocol uses across its attempts. (Taking the
     single max-efficiency unqualified attempt instead would cherry-pick
@@ -118,7 +136,7 @@ def _hunt_best() -> dict | None:
         return None
     if not recs:
         return None
-    qual = [r for r in recs if r.get("qualified")]
+    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)]
     if qual:
         best = dict(max(qual, key=lambda r: r["efficiency_n_to_4n"]))
         best["n_qualified_attempts"] = len(qual)
@@ -167,7 +185,9 @@ def _hunt_best() -> dict | None:
 # measured quantity, not a guess from a stalled window.
 NORMALIZED_RULE = ("efficiency_normalized_by_host = raw_eff / "
                    "cpu_scaling(N->4N raw-numpy), admitted iff "
-                   "cal_before >= 0.75 and cal_after >= 0.75")
+                   "0.75 <= cal_before,cal_after <= 1.15 (a reading "
+                   "above the ceiling means the probe itself was "
+                   "stalled — invalid window, not extra-quiet)")
 
 
 def _hunt_best_normalized() -> dict | None:
@@ -182,8 +202,7 @@ def _hunt_best_normalized() -> dict | None:
         return None
     ok = [r for r in recs
           if r.get("efficiency_normalized_by_host") is not None
-          and r.get("cal_before", 0) >= 0.75
-          and r.get("cal_after", 0) >= 0.75]
+          and _cal_in_band(r, floor=0.75)]
     if not ok:
         return None
     best = max(ok, key=lambda r: r["efficiency_normalized_by_host"])
@@ -228,9 +247,8 @@ def _cluster_best() -> dict | None:
         return None
     if not recs:
         return None
-    qual = [r for r in recs if r.get("qualified")]
-    adm = [r for r in recs if r.get("cal_before", 0) >= 0.75
-           and r.get("cal_after", 0) >= 0.75]
+    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)]
+    adm = [r for r in recs if _cal_in_band(r, floor=0.75)]
     if qual:
         best, kind = max(qual, key=lambda r: r["efficiency_n_to_4n"]), \
             "calibration_qualified"

@@ -38,6 +38,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 GATE = 0.90          # an attempt is QUALIFIED iff min(cal) >= this
+CAL_CEILING = 1.15   # ...AND max(cal) <= this: a super-linear burn
+# ratio means the calibration probe's own small side was stalled — the
+# window measurement is invalid, not extra-quiet (one 2.186 reading
+# "qualified" a 0.349 pair before this guard)
 ATTEMPT_FLOOR = 0.78  # but measure whenever the box grants at least this:
 # on a night where the hypervisor never reaches 0.9 (r3 saw 0.61-0.89 all
 # night) the near-qualified pairs + calibration-normalized figures are the
@@ -137,7 +141,8 @@ def main() -> None:
             # headline number)
             "efficiency_normalized_by_host": round(eff / cal_mean, 3)
             if cal_mean > 0 else None,
-            "qualified": min(cal_before, cal_after) >= GATE,
+            "qualified": (min(cal_before, cal_after) >= GATE
+                          and max(cal_before, cal_after) <= CAL_CEILING),
             "scale": int(os.environ.get("SC_CYCLE_SCALE", "1")),
         }
         with open(LOG, "a") as f:
