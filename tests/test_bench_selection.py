@@ -1,0 +1,103 @@
+"""Evidence-selection rules in bench.py (no Spark needed).
+
+The recorded scaling headline is assembled from BENCH/scaling_attempts.jsonl
+by three pure functions; these tests pin the admission/qualification rules —
+in particular the round-5 calibration sanity ceiling: a burn-scaling probe
+reading far above 1.0 means the probe's own small side was stalled (the
+window measurement is invalid), so it must DISQUALIFY an attempt rather
+than vouch for it. One real logged attempt (2026-08-18T04:53:37,
+cal_before=2.186, efficiency 0.349) was "qualified" under the old
+min(cal)>=0.9 rule and would have been promoted over genuine 0.85+ pairs.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    return mod
+
+
+def _write_log(bench, recs, name="scaling_attempts.jsonl"):
+    path = os.path.join(bench.REPO, "BENCH", name)
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rec(ts, eff, cal_before, cal_after, qualified=None, scale=4, norm=None):
+    r = {
+        "ts": ts, "cal_before": cal_before, "cal_after": cal_after,
+        "cal_min": min(cal_before, cal_after),
+        "wall_s_local[8]": 32.0, "wall_s_local[32]": 32.0 / (4 * eff),
+        "pages": 150000, "efficiency_n_to_4n": eff,
+        "efficiency_normalized_by_host":
+            norm if norm is not None
+            else round(eff / ((cal_before + cal_after) / 2), 3),
+        "qualified": qualified if qualified is not None
+        else min(cal_before, cal_after) >= 0.9,
+        "scale": scale,
+    }
+    return r
+
+
+def test_cal_in_band_rejects_superlinear_probe(bench):
+    assert bench._cal_in_band({"cal_before": 0.95, "cal_after": 0.91})
+    # the real 04:53:37 artifact: 2.186 before, 0.913 after
+    assert not bench._cal_in_band({"cal_before": 2.186, "cal_after": 0.913})
+    assert not bench._cal_in_band({"cal_before": 0.91, "cal_after": 1.2})
+    # admission floor variant
+    assert bench._cal_in_band({"cal_before": 0.76, "cal_after": 1.1},
+                              floor=0.75)
+    assert not bench._cal_in_band({"cal_before": 0.74, "cal_after": 0.9},
+                                  floor=0.75)
+
+
+def test_hunt_best_ignores_superlinear_qualified(bench):
+    # a steal-poisoned pair marked qualified by the OLD rule must not win
+    _write_log(bench, [
+        _rec("t1", 0.349, 2.186, 0.913, qualified=True),
+        _rec("t2", 0.85, 0.83, 0.84),
+        _rec("t3", 0.80, 0.82, 0.86),
+    ])
+    best = bench._hunt_best()
+    assert best["kind"] == "cross_attempt_best_pair"
+    assert best["n_qualified_attempts"] == 0
+
+
+def test_hunt_best_prefers_genuinely_qualified(bench):
+    _write_log(bench, [
+        _rec("t1", 0.349, 2.186, 0.913, qualified=True),
+        _rec("t2", 0.83, 0.95, 0.92, qualified=True),
+        _rec("t3", 0.99, 0.80, 0.80),  # admissible but not qualified
+    ])
+    best = bench._hunt_best()
+    assert best["ts"] == "t2"
+    assert best["efficiency_n_to_4n"] == 0.83
+    assert best["n_qualified_attempts"] == 1
+
+
+def test_normalized_admission_uses_band(bench):
+    _write_log(bench, [
+        _rec("t1", 0.9, 2.186, 0.913),   # probe invalid: excluded
+        _rec("t2", 0.82, 0.80, 0.78),
+        _rec("t3", 0.888, 0.958, 0.812),
+    ])
+    norm = bench._hunt_best_normalized()
+    assert norm["n_admissible_attempts"] == 2
+    assert norm["best_admissible_raw"]["ts"] == "t3"
+    assert norm["best_admissible_raw"]["efficiency_n_to_4n"] == 0.888
+    # normalized figure is capped at 1.0 (steal can inflate either way)
+    assert norm["efficiency_normalized_by_host"] <= 1.0
