@@ -218,6 +218,11 @@ def _hunt_best_normalized() -> dict | None:
         "cal_after": best["cal_after"],
         "ts": best["ts"],
         "n_admissible_attempts": len(ok),
+        # how many independent admissible windows met the >= 0.8 raw
+        # criterion outright (no steal correction) — repeatability, not
+        # a single lucky window
+        "n_admissible_raw_ge_0_8": sum(
+            1 for r in ok if r["efficiency_n_to_4n"] >= 0.8),
         "best_admissible_raw": {
             "efficiency_n_to_4n": best_raw["efficiency_n_to_4n"],
             "cal_before": best_raw["cal_before"],
@@ -465,6 +470,9 @@ def main():
             "best_admissible_raw": (
                 (sc.get("normalized_evidence") or {})
                 .get("best_admissible_raw")),
+            "n_admissible_raw_ge_0_8": (
+                (sc.get("normalized_evidence") or {})
+                .get("n_admissible_raw_ge_0_8")),
             "pair_4_to_16_efficiency":
                 sc["pair_4_to_16"]["efficiency_n_to_4n"],
             "local_cluster": (
