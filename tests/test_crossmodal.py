@@ -1,0 +1,162 @@
+"""Cross-modal curation operators (datapipe/crossmodal.py): exact
+cross-modal dedup, caption<->image alignment, metadata quality gate.
+DuckDB twins where the semantics are SQL-expressible; mock-encoder
+contract tests for the alignment plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from supercrawler_spark import fixtures
+from supercrawler_spark.crawler import plan_str
+from supercrawler_spark.datapipe import crossmodal as XM
+
+
+def _planted_images() -> pd.DataFrame:
+    base = fixtures.make_images(8)
+    extra = pd.DataFrame([
+        # duplicate caption of img-0001 on a distinct image
+        {"image_id": "img-9001", "bytes": b"\x00", "w": 30, "h": 30,
+         "fmt": "png", "caption": "synthetic caption 1 for img-0001",
+         "phash": 111},
+        # duplicate phash of img-0002 under a distinct caption
+        {"image_id": "img-9002", "bytes": b"\x00", "w": 30, "h": 30,
+         "fmt": "png", "caption": "a different caption",
+         "phash": int(base.loc[2, "phash"])},
+        # whitespace/case variant of img-0003's caption
+        {"image_id": "img-9003", "bytes": b"\x00", "w": 30, "h": 30,
+         "fmt": "png", "caption": "  Synthetic   CAPTION 3 for img-0003 ",
+         "phash": 333},
+        # empty + null captions: never caption-dup keys, both kept
+        {"image_id": "img-9004", "bytes": b"\x00", "w": 30, "h": 30,
+         "fmt": "png", "caption": "   ", "phash": 444},
+        {"image_id": "img-9005", "bytes": b"\x00", "w": 30, "h": 30,
+         "fmt": "png", "caption": None, "phash": 555},
+    ])
+    return pd.concat([base, extra], ignore_index=True)
+
+
+def test_crossmodal_dedup_duckdb_parity_and_planted(spark):
+    pdf = _planted_images()
+    got = (XM.crossmodal_dedup(spark.createDataFrame(pdf))
+           .orderBy("image_id").toPandas())
+
+    con = duckdb.connect()
+    con.register("images", pdf.drop(columns=["bytes"]))
+    want = con.execute(XM.crossmodal_dedup_oracle_sql()).fetchdf()
+    con.close()
+
+    assert len(got) == len(want) == len(pdf)
+    for col in ["image_id", "caption_canonical", "phash_canonical",
+                "keep", "drop_reason"]:
+        g = [None if pd.isna(v) else v for v in got[col]]
+        w = [None if pd.isna(v) else v for v in want[col]]
+        assert g == w, f"mismatch in {col}"
+
+    by_id = got.set_index("image_id")
+    # caption dup: img-9001 shares img-0001's caption, min-id keeps 0001
+    assert not by_id.loc["img-9001", "keep"]
+    assert by_id.loc["img-9001", "drop_reason"] == "dup_caption"
+    assert by_id.loc["img-0001", "keep"]
+    # image dup: img-9002 shares img-0002's phash; dup_image wins
+    assert not by_id.loc["img-9002", "keep"]
+    assert by_id.loc["img-9002", "drop_reason"] == "dup_image"
+    # normalization: whitespace/case variant is the same caption key
+    assert not by_id.loc["img-9003", "keep"]
+    assert by_id.loc["img-9003", "drop_reason"] == "dup_caption"
+    # blank/null captions are singleton groups -> kept
+    assert by_id.loc["img-9004", "keep"] and by_id.loc["img-9005", "keep"]
+
+
+def test_caption_text_embed_deterministic_unit_norm(spark):
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "caption": ["a red bird on a wire", "a red bird on a wire",
+                    "completely different words here", ""],
+    })
+    df = spark.createDataFrame(pdf)
+    out = {r["image_id"]: r["vec"]
+           for r in XM.caption_text_embed(df, dim=16).collect()}
+    assert out["a"] == out["b"]                      # deterministic
+    assert out["d"] is None                          # zero-token abstains
+    assert abs(np.linalg.norm(out["a"]) - 1.0) < 1e-5
+    assert out["a"] != out["c"]
+
+
+def test_alignment_mock_encoder_contract(spark):
+    """With controlled encoders the operator is exactly per-row cosine:
+    aligned onehots score 1.0, orthogonal score 0.0."""
+    images = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a", "b"], "caption": ["x", "y"], "bytes": [b"", b""]}))
+
+    def onehot(i):
+        v = [0.0, 0.0, 0.0]
+        v[i] = 1.0
+        return v
+
+    def text_enc(df):
+        return spark.createDataFrame(
+            [("a", onehot(0)), ("b", onehot(1))], "image_id string, vec array<float>")
+
+    def img_enc(df):
+        return spark.createDataFrame(
+            [("a", onehot(0)), ("b", onehot(2))], "image_id string, vec array<float>")
+
+    got = {r["image_id"]: r["alignment"]
+           for r in XM.caption_image_alignment(
+               images, text_encoder=text_enc, image_encoder=img_enc).collect()}
+    assert got == {"a": 1.0, "b": 0.0}
+
+
+def test_alignment_default_stub_deterministic_and_bounded(spark):
+    images = spark.createDataFrame(fixtures.make_images(6))
+    a = XM.caption_image_alignment(images).orderBy("image_id").collect()
+    b = XM.caption_image_alignment(images).orderBy("image_id").collect()
+    assert [r["alignment"] for r in a] == [r["alignment"] for r in b]
+    for r in a:
+        assert r["alignment"] is not None
+        assert -1.0 - 1e-6 <= r["alignment"] <= 1.0 + 1e-6
+    # threshold gate keeps exactly the rows at/above the cut
+    cut = sorted(r["alignment"] for r in a)[3]
+    kept = {r["image_id"] for r in
+            XM.alignment_filter(images, threshold=cut).collect() if r["keep"]}
+    assert kept == {r["image_id"] for r in a if r["alignment"] >= cut}
+
+
+def test_image_quality_gate_duckdb_parity(spark):
+    pdf = _planted_images()
+    pdf = pd.concat([pdf, pd.DataFrame([
+        {"image_id": "img-9100", "bytes": b"", "w": 300, "h": 40,
+         "fmt": "png", "caption": "wide", "phash": 1},      # extreme aspect
+        {"image_id": "img-9101", "bytes": b"", "w": 80, "h": 80,
+         "fmt": "gif", "caption": "fmt", "phash": 2},       # bad format
+    ])], ignore_index=True)
+    got = (XM.image_quality_gate(spark.createDataFrame(pdf),
+                                 min_w=32, min_h=32)
+           .orderBy("image_id").toPandas())
+    con = duckdb.connect()
+    con.register("images", pdf.drop(columns=["bytes"]))
+    want = con.execute(XM.image_quality_gate_oracle_sql(
+        min_w=32, min_h=32)).fetchdf()
+    con.close()
+    assert len(got) == len(want)
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["keep"].tolist() == [bool(v) for v in want["keep"]]
+    assert [list(v) for v in got["reasons"]] == \
+        [list(v) for v in want["reasons"]]
+    by_id = got.set_index("image_id")
+    assert by_id.loc["img-9100", "reasons"].tolist() == ["extreme_aspect"]
+    assert by_id.loc["img-9101", "reasons"].tolist() == ["bad_format"]
+
+
+def test_image_quality_gate_prunes_bytes_column(spark, tmp_path):
+    """The metadata gate over a parquet scan must never read the bytes
+    column — ReadSchema pruning is the operator's 100 TB contract."""
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(fixtures.make_images(4)).write.parquet(path)
+    plan = plan_str(XM.image_quality_gate(spark.read.parquet(path)))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert all("bytes" not in ln for ln in read_schema), read_schema
