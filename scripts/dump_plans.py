@@ -104,8 +104,33 @@ def main():
               ("no BroadcastNestedLoopJoin (no whole-side broadcast)", r"BroadcastNestedLoopJoin", False),
           ])
 
-    # the crawl engine's own frontier scan after compaction
+    # ---- cross-modal curation + shard sink (round-5 additions)
     import tempfile
+    from supercrawler_spark import fixtures as _fx
+    from supercrawler_spark.datapipe import crossmodal as XM
+    from supercrawler_spark.datapipe import sharding as SH
+    img_path = os.path.join(tempfile.mkdtemp(), "images.parquet")
+    spark.createDataFrame(_fx.make_images(8)).write.parquet(img_path)
+    images_pq = spark.read.parquet(img_path)
+    audit("crossmodal_dedup (caption + exact-image dup verdicts)",
+          XM.crossmodal_dedup(images_pq), [
+              ("canonicalization is map-combinable partial min (no window over dup keys)", r"partial_min", True),
+              ("equi-joins only (no nested loop)", r"BroadcastNestedLoopJoin", False),
+              ("no CartesianProduct", r"CartesianProduct", False),
+          ])
+    audit("image_quality_gate (metadata-only gate over the parquet scan)",
+          XM.image_quality_gate(images_pq), [
+              ("bytes column pruned out of the scan", r"ReadSchema: .*bytes", False),
+              ("scan reads only the metadata columns", r"ReadSchema:", True),
+              ("pure JVM (no Python/Arrow eval)", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+          ])
+    audit("shard sink assignment (one hash exchange, shard = partition)",
+          SH.shard_assignments(images_pq, 8).repartition(8, "shard"), [
+              ("single hash exchange on the shard key", r"hashpartitioning\(shard", True),
+              ("deterministic JVM hash (no Python)", r"BatchEvalPython|ArrowEvalPython|MapInPandas", False),
+          ])
+
+    # the crawl engine's own frontier scan after compaction
     from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
     web_df = spark.createDataFrame(
         [], schema="url string, status_code int, content_type string, location string, body binary")
