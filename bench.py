@@ -420,10 +420,11 @@ def main():
         "frontier_scale": frontier_scale,
         # quiet-window capability for the single-shot sections (host noise
         # can inflate any one measurement 5-10x; see BENCH/BASELINE.md):
-        # r2 LSM-frontier capability at calibration 0.81 (r1's 514 was the
-        # whole-frontier-rewrite design that degrades linearly in frontier
-        # size — see BENCH/BASELINE.md §0/§1 for the trade)
-        "quiet_window_reference_crawl_urls_per_sec": 370.0,
+        # r5 capability after the executor-resident cycle change (driver
+        # collects scalars only) at calibration ~0.75-0.81; r2's LSM
+        # capability was 370 (r1's 514 was the whole-frontier-rewrite
+        # design that degrades linearly in frontier size — BASELINE.md §0/§1)
+        "quiet_window_reference_crawl_urls_per_sec": 477.7,
         "quiet_window_reference_dedup_2m": {
             "exact_antijoin_s": 3.04, "bloom_build_s": 3.64,
             "bloom_prefilter_s": 5.86},
