@@ -160,3 +160,48 @@ def test_image_quality_gate_prunes_bytes_column(spark, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema, plan
     assert all("bytes" not in ln for ln in read_schema), read_schema
+
+
+def test_crossmodal_dedup_randomized_vs_pandas_reference(spark):
+    """500 rows with heavy caption/phash collisions (and blank/null
+    captions) vs an independent pandas reference implementation."""
+    rng = np.random.default_rng(11)
+    n = 500
+    captions = [None, "", "   ", "cap one", "CAP  one", "cap two",
+                "unique %d"]
+    pdf = pd.DataFrame({
+        "image_id": [f"id-{i:04d}" for i in range(n)],
+        "caption": [
+            (captions[int(c)] % i if c == 6 else captions[int(c)])
+            for i, c in enumerate(rng.integers(0, 7, n))],
+        "phash": rng.integers(0, 40, n),  # ~12 rows per phash value
+    })
+
+    # independent reference: same normalization + min-id canonicals
+    ref = pdf.copy()
+    ref["cap_norm"] = (ref.caption.str.lower().str.strip()
+                       .str.replace(r"\s+", " ", regex=True)
+                       .replace("", None))
+    cap_min = (ref.dropna(subset=["cap_norm"])
+               .groupby("cap_norm").image_id.min())
+    ph_min = ref.groupby("phash").image_id.min()
+    ref["caption_canonical"] = ref.cap_norm.map(cap_min)
+    ref["phash_canonical"] = ref.phash.map(ph_min)
+    img_ok = ref.image_id == ref.phash_canonical
+    cap_ok = ref.caption_canonical.isna() | (ref.image_id ==
+                                             ref.caption_canonical)
+    ref["keep"] = img_ok & cap_ok
+    ref["drop_reason"] = np.where(
+        ~img_ok, "dup_image", np.where(~cap_ok, "dup_caption", None))
+
+    got = (XM.crossmodal_dedup(spark.createDataFrame(pdf))
+           .orderBy("image_id").toPandas())
+    ref = ref.sort_values("image_id").reset_index(drop=True)
+    assert got.image_id.tolist() == ref.image_id.tolist()
+    assert got.keep.tolist() == ref.keep.tolist()
+    g_reason = [None if pd.isna(v) else v for v in got.drop_reason]
+    r_reason = [None if pd.isna(v) else v for v in ref.drop_reason]
+    assert g_reason == r_reason
+    assert got.phash_canonical.tolist() == ref.phash_canonical.tolist()
+    # at these collision rates a majority of rows must be drops
+    assert 0 < got.keep.sum() < n // 2
