@@ -205,3 +205,26 @@ def test_crossmodal_dedup_randomized_vs_pandas_reference(spark):
     assert got.phash_canonical.tolist() == ref.phash_canonical.tolist()
     # at these collision rates a majority of rows must be drops
     assert 0 < got.keep.sum() < n // 2
+
+
+def test_alignment_corrupt_image_abstains(spark):
+    """An undecodable image (or empty caption) yields NULL alignment;
+    alignment_filter drops unscorable rows rather than scoring them 0."""
+    pdf = pd.concat([fixtures.make_images(3), pd.DataFrame([
+        {"image_id": "img-corrupt", "bytes": b"\x00\x01garbage",
+         "w": 10, "h": 10, "fmt": "png", "caption": "fine caption",
+         "phash": 1},
+        {"image_id": "img-nocap", "bytes": bytes(
+            fixtures.make_images(1).loc[0, "bytes"]),
+         "w": 10, "h": 10, "fmt": "png", "caption": "", "phash": 2},
+    ])], ignore_index=True)
+    out = {r["image_id"]: r for r in
+           XM.alignment_filter(spark.createDataFrame(pdf),
+                               threshold=-1.0).collect()}
+    assert out["img-corrupt"]["alignment"] is None
+    assert out["img-corrupt"]["keep"] is False
+    assert out["img-nocap"]["alignment"] is None
+    assert out["img-nocap"]["keep"] is False
+    for i in range(3):
+        assert out[f"img-{i:04d}"]["alignment"] is not None
+        assert out[f"img-{i:04d}"]["keep"] is True
