@@ -516,7 +516,41 @@ def q_multimodal_pipeline(spark, sf_dir):
         "frame_idx", "w", "h", F.lit(None).cast("string").alias("fmt"),
         "phash", F.lit(None).cast("double").alias("metric"),
         F.col("decode_error").isNull().alias("ok"))
+    # round-5 curation stages over the same images (+1 planted caption
+    # dup so the dedup stage records a real drop): cross-modal dedup,
+    # caption<->image alignment, metadata quality gate
+    import pandas as pd
+    from supercrawler_spark.datapipe import crossmodal as XM
+    pdf = fixtures.make_images(32, seed=42)
+    planted = pd.concat([pdf, pd.DataFrame([{
+        "image_id": "img-capdup", "bytes": bytes(pdf.loc[0, "bytes"]),
+        "w": int(pdf.loc[0, "w"]), "h": int(pdf.loc[0, "h"]),
+        "fmt": "png", "caption": str(pdf.loc[0, "caption"]),
+        "phash": 424242}])], ignore_index=True)
+    curated = spark.createDataFrame(planted)
+    ddp = XM.crossmodal_dedup(curated).select(
+        F.lit("xm_dedup").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("long").alias("phash"),
+        F.lit(None).cast("double").alias("metric"), F.col("keep").alias("ok"))
+    aln = XM.alignment_filter(curated, threshold=0.0).select(
+        F.lit("align").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("long").alias("phash"),
+        F.col("alignment").cast("double").alias("metric"),
+        F.col("keep").alias("ok"))
+    gate = XM.image_quality_gate(curated, min_w=32, min_h=32).select(
+        F.lit("gate").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
+        "fmt", F.lit(None).cast("long").alias("phash"),
+        F.lit(None).cast("double").alias("metric"), F.col("keep").alias("ok"))
     return (dec.unionByName(ver).unionByName(frm)
+            .unionByName(ddp).unionByName(aln).unionByName(gate)
             .orderBy("kind", "item_id", "frame_idx"))
 
 
