@@ -517,3 +517,44 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     "n_lines",
                     F.coalesce(F.col("n_lines_kept"), F.lit(0))
                      .alias("n_lines_kept")))
+
+
+def incremental_dedup(new_batch: DataFrame, history_fps: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      mode: str = "fingerprint",
+                      bloom=None) -> DataFrame:
+    """Continuous-ingestion dedup: today's crawl delta vs the historical
+    corpus. The daily shape at 100 TB is a bounded new batch (10^7-10^9
+    rows) against a historical fingerprint set (10^10+ rows), so the
+    batch deduplicates internally first (min-id keeper per fingerprint,
+    one map-combinable shuffle) and only the keepers are checked against
+    history.
+
+    ``history_fps`` is a DataFrame with a single ``fp`` column — the
+    fingerprint set the caller maintains across ingests (append the
+    returned rows' ``fp`` to it after each batch).
+
+    ``bloom``: an optional ``PartitionedBloom`` built over history (keyed
+    on ``fp``). When supplied, the history check routes through
+    ``bloom.prefilter`` — identical result to the plain left_anti (no
+    false negatives; bloom positives are exactly-verified), but only the
+    suspect rows reach the verify join, so the giant history table is
+    joined against a sliver of the batch. Mirrors the crawl engine's
+    seen-set prefilter (crawler.run_cycle / bloom.py:291-338).
+
+    Returns the surviving new rows: (id_col, fp, n_batch_copies) — rows
+    neither duplicated inside the batch (keeper wins) nor present in
+    history.
+    """
+    fp_expr = (fingerprint(F.col(text_col)) if mode == "fingerprint"
+               else F.md5(F.col(text_col)))
+    fps = new_batch.select(F.col(id_col), fp_expr.alias("fp"))
+    keepers = (fps.groupBy("fp")
+               .agg(F.min(id_col).alias(id_col),
+                    F.count(F.lit(1)).alias("n_batch_copies")))
+    if bloom is not None:
+        survivors = bloom.prefilter(new_batch.sparkSession, keepers,
+                                    "fp", history_fps)
+    else:
+        survivors = keepers.join(history_fps, "fp", "left_anti")
+    return survivors.select(id_col, "fp", "n_batch_copies")

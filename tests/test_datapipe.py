@@ -677,3 +677,41 @@ def test_domain_capped_sample_cap_and_determinism(spark):
     for s, members in by_stratum.items():
         expect = sorted(((_py_u32(d), d) for _, d in members))
         assert [d for _, d in sorted(members)] == [d for _, d in expect]
+
+
+def test_incremental_dedup_exact_and_bloom_paths_identical(spark):
+    """Daily-delta vs historical-corpus dedup: batch-internal keepers,
+    history anti-join, and the Bloom-prefiltered path returning the
+    identical survivor set (no false negatives by construction)."""
+    from supercrawler_spark.bloom import PartitionedBloom
+    from supercrawler_spark.datapipe.text import fingerprint as _fp
+
+    history_docs = spark.createDataFrame(
+        [(i, f"historic document number {i}") for i in range(200)],
+        "doc_id long, text string")
+    history_fps = history_docs.select(
+        _fp(F.col("text")).alias("fp")).distinct()
+
+    new_batch = spark.createDataFrame(
+        # 0-9 duplicate history; 100x-100y are batch-internal dups;
+        # 500+ are genuinely new
+        [(1000 + i, f"historic document number {i}") for i in range(10)] +
+        [(2000, "fresh doc alpha"), (2001, "fresh doc alpha"),
+         (2002, "Fresh   DOC alpha")] +   # fingerprint-normalized dup
+        [(3000 + i, f"brand new doc {i}") for i in range(5)],
+        "doc_id long, text string")
+
+    got = (DD.incremental_dedup(new_batch, history_fps)
+           .orderBy("doc_id").collect())
+    ids = [r["doc_id"] for r in got]
+    # one keeper for the alpha group (min id 2000, 3 copies), 5 new docs
+    assert ids == [2000] + [3000 + i for i in range(5)]
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[2000]["n_batch_copies"] == 3
+    assert all(by_id[3000 + i]["n_batch_copies"] == 1 for i in range(5))
+
+    bloom = PartitionedBloom(partitions=4, capacity=1 << 12)
+    bloom.add(spark, history_fps, col="fp")
+    got_bloom = (DD.incremental_dedup(new_batch, history_fps, bloom=bloom)
+                 .orderBy("doc_id").collect())
+    assert [tuple(r) for r in got_bloom] == [tuple(r) for r in got]
