@@ -51,7 +51,8 @@ class CurationResult:
 
 
 def curate_corpus(images: DataFrame, out_path: str,
-                  cfg: CurationConfig = CurationConfig()) -> CurationResult:
+                  cfg: CurationConfig = CurationConfig(),
+                  collect_stats: bool = True) -> CurationResult:
     """Runs the full curation pipeline and writes training shards to
     ``out_path``. Returns the sink manifest plus per-stage drop
     accounting (scalars only — no per-row driver transfer).
@@ -60,37 +61,63 @@ def curate_corpus(images: DataFrame, out_path: str,
     (no bytes read, no shuffle) so it runs first; exact dedup next (one
     groupBy-min pass over survivors); the alignment filter last because
     its encoders decode bytes — it should see the fewest rows.
+
+    ``collect_stats=True`` counts each stage, which forces a pass per
+    stage; the expensive stage outputs are persisted so no stage (in
+    particular the decoding alignment encoders) ever executes twice —
+    one persisted pass each, released before return.
+    ``collect_stats=False`` skips the intermediate counts entirely: the
+    whole pipeline fuses into the sink write's single lineage (plus the
+    dedup/alignment shuffles), and only the manifest-derived totals are
+    reported — the 100 TB production mode.
     """
     idc = cfg.id_col
-    stats: dict[str, int] = {"input": images.count()}
+    stats: dict[str, int] = {}
+    pinned: list[DataFrame] = []
 
-    gate = XM.image_quality_gate(
-        images, id_col=idc, min_w=cfg.min_w, min_h=cfg.min_h,
-        max_aspect=cfg.max_aspect, allowed_fmts=cfg.allowed_fmts)
-    gated = images.join(
-        gate.filter(F.col("keep")).select(F.col("image_id").alias(idc)),
-        idc, "left_semi")
-    stats["after_quality_gate"] = gated.count()
+    def stage(df: DataFrame, key: str) -> DataFrame:
+        if collect_stats:
+            df = df.persist()
+            pinned.append(df)
+            stats[key] = df.count()
+        return df
 
-    verdicts = XM.crossmodal_dedup(gated, id_col=idc)
-    deduped = gated.join(
-        verdicts.filter(F.col("keep")).select(F.col("image_id").alias(idc)),
-        idc, "left_semi")
-    stats["after_crossmodal_dedup"] = deduped.count()
+    try:
+        if collect_stats:
+            stats["input"] = images.count()
 
-    if cfg.alignment_threshold is not None:
-        aligned = XM.alignment_filter(
-            deduped, threshold=cfg.alignment_threshold, id_col=idc,
-            text_encoder=cfg.text_encoder, image_encoder=cfg.image_encoder)
-        kept = deduped.join(
-            aligned.filter(F.col("keep"))
-                   .select(F.col("image_id").alias(idc)),
-            idc, "left_semi")
-    else:
-        kept = deduped
-    stats["after_alignment_filter"] = kept.count()
+        gate = XM.image_quality_gate(
+            images, id_col=idc, min_w=cfg.min_w, min_h=cfg.min_h,
+            max_aspect=cfg.max_aspect, allowed_fmts=cfg.allowed_fmts)
+        gated = stage(images.join(
+            gate.filter(F.col("keep")).select(F.col("image_id").alias(idc)),
+            idc, "left_semi"), "after_quality_gate")
 
-    manifest = SH.write_shards(kept, out_path, cfg.n_shards, id_col=idc)
+        verdicts = XM.crossmodal_dedup(gated, id_col=idc)
+        deduped = stage(gated.join(
+            verdicts.filter(F.col("keep"))
+                    .select(F.col("image_id").alias(idc)),
+            idc, "left_semi"), "after_crossmodal_dedup")
+
+        if cfg.alignment_threshold is not None:
+            aligned = XM.alignment_filter(
+                deduped, threshold=cfg.alignment_threshold, id_col=idc,
+                text_encoder=cfg.text_encoder,
+                image_encoder=cfg.image_encoder)
+            kept = stage(deduped.join(
+                aligned.filter(F.col("keep"))
+                       .select(F.col("image_id").alias(idc)),
+                idc, "left_semi"), "after_alignment_filter")
+        else:
+            kept = deduped
+            if collect_stats:
+                stats["after_alignment_filter"] = \
+                    stats["after_crossmodal_dedup"]
+
+        manifest = SH.write_shards(kept, out_path, cfg.n_shards, id_col=idc)
+    finally:
+        for df in pinned:
+            df.unpersist()
     stats["shards_written"] = manifest.count()
     stats["rows_sharded"] = (manifest.agg(F.sum("n_rows")).collect()[0][0]
                              or 0)

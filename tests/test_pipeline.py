@@ -57,3 +57,16 @@ def test_curate_corpus_alignment_stage_optional(spark, tmp_path):
     assert res.stats["after_alignment_filter"] == \
         res.stats["after_crossmodal_dedup"]
     assert res.stats["rows_sharded"] == res.stats["after_alignment_filter"]
+
+
+def test_curate_corpus_stats_off_single_pass(spark, tmp_path):
+    """collect_stats=False skips intermediate counts (production mode):
+    same written corpus, manifest-derived totals only."""
+    out = str(tmp_path / "shards3")
+    cfg = PL.CurationConfig(min_w=8, min_h=8, n_shards=4,
+                            alignment_threshold=-1.0)
+    res = PL.curate_corpus(_corpus(spark), out, cfg, collect_stats=False)
+    assert set(res.stats) == {"shards_written", "rows_sharded"}
+    assert res.stats["rows_sharded"] == 10
+    back = {r["image_id"] for r in spark.read.parquet(out).collect()}
+    assert back == {f"img-{i:04d}" for i in range(10)}
