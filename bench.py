@@ -107,10 +107,27 @@ def _worker(mode: str, master: str) -> dict:
 # invalidate qualification/admission rather than strengthening it.
 CAL_CEILING = 1.15
 
+# efficiency sanity ceiling, same physics applied to the MEASURED pair:
+# a raw N->4N efficiency above 1.0 is super-linear scaling, which this
+# job cannot do (same single-JVM plan, same input bytes, only the thread
+# grant differs; best honest window ever observed is 0.955) — its one
+# known cause is a steal burst stalling the SMALL side's wall. Such a
+# pair flatters the scaling claim exactly the way an above-ceiling
+# calibration probe flatters the window, so it is excluded from every
+# selection (qualified, admissible-raw, the >=0.8 census, the live
+# headline) rather than promoted by it. The first real instance is the
+# 2026-08-18T23:11:30 logged attempt: raw 1.152 at cal 0.878/0.888.
+EFF_CEILING = 1.0
+
 
 def _cal_in_band(rec: dict, floor: float = 0.9) -> bool:
     cb, ca = rec.get("cal_before", 0), rec.get("cal_after", 0)
     return floor <= min(cb, ca) and max(cb, ca) <= CAL_CEILING
+
+
+def _eff_plausible(rec: dict) -> bool:
+    return (rec.get("efficiency_n_to_4n") is not None
+            and rec["efficiency_n_to_4n"] <= EFF_CEILING)
 
 
 def _hunt_best() -> dict | None:
@@ -136,7 +153,8 @@ def _hunt_best() -> dict | None:
         return None
     if not recs:
         return None
-    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)]
+    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)
+            and _eff_plausible(r)]
     if qual:
         best = dict(max(qual, key=lambda r: r["efficiency_n_to_4n"]))
         best["n_qualified_attempts"] = len(qual)
@@ -187,7 +205,9 @@ NORMALIZED_RULE = ("efficiency_normalized_by_host = raw_eff / "
                    "cpu_scaling(N->4N raw-numpy), admitted iff "
                    "0.75 <= cal_before,cal_after <= 1.15 (a reading "
                    "above the ceiling means the probe itself was "
-                   "stalled — invalid window, not extra-quiet)")
+                   "stalled — invalid window, not extra-quiet) AND "
+                   "raw_eff <= 1.0 (super-linear scaling = the pair's "
+                   "own small side was stalled)")
 
 
 def _hunt_best_normalized() -> dict | None:
@@ -202,7 +222,7 @@ def _hunt_best_normalized() -> dict | None:
         return None
     ok = [r for r in recs
           if r.get("efficiency_normalized_by_host") is not None
-          and _cal_in_band(r, floor=0.75)]
+          and _cal_in_band(r, floor=0.75) and _eff_plausible(r)]
     if not ok:
         return None
     best = max(ok, key=lambda r: r["efficiency_normalized_by_host"])
@@ -252,8 +272,10 @@ def _cluster_best() -> dict | None:
         return None
     if not recs:
         return None
-    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)]
-    adm = [r for r in recs if _cal_in_band(r, floor=0.75)]
+    qual = [r for r in recs if r.get("qualified") and _cal_in_band(r)
+            and _eff_plausible(r)]
+    adm = [r for r in recs if _cal_in_band(r, floor=0.75)
+           and _eff_plausible(r)]
     if qual:
         best, kind = max(qual, key=lambda r: r["efficiency_n_to_4n"]), \
             "calibration_qualified"
@@ -262,7 +284,8 @@ def _cluster_best() -> dict | None:
                          r.get("efficiency_normalized_by_host") or 0), \
             "admissible_normalized"
     else:
-        best, kind = max(recs, key=lambda r: r["efficiency_n_to_4n"]), \
+        pool = [r for r in recs if _eff_plausible(r)] or recs
+        best, kind = max(pool, key=lambda r: r["efficiency_n_to_4n"]), \
             "best_single_attempt_unqualified"
     out = dict(best)
     out["selection"] = kind
@@ -480,6 +503,15 @@ def main():
             "n_admissible_raw_ge_0_8": (
                 (sc.get("normalized_evidence") or {})
                 .get("n_admissible_raw_ge_0_8")),
+            # strict-gate evidence (cal >= 0.9 measured both before AND
+            # after the pair, eff <= 1.0): the north rule's criterion met
+            # without any admission relaxation, when the host granted one
+            "best_qualified_pair": (
+                {k: sc["session_hunt"][k] for k in
+                 ("ts", "efficiency_n_to_4n", "cal_before", "cal_after",
+                  "n_qualified_attempts") if k in sc["session_hunt"]}
+                if (sc.get("session_hunt") or {}).get("qualified")
+                else None),
             "pair_4_to_16_efficiency":
                 sc["pair_4_to_16"]["efficiency_n_to_4n"],
             "local_cluster": (
@@ -511,8 +543,12 @@ def _assemble_scaling(n_small, cyc_small, cyc_big, eff, attempts,
     # local[N/4]-vs-local[N] pairs on identical input bytes; provenance is
     # explicit in recorded_from + attempt_log + session_hunt.
     adm_raw = (norm or {}).get("best_admissible_raw")
+    # a super-linear live pair is an invalid window, not a great one
+    # (EFF_CEILING above) — keep its raw value visible in bench_live_pair
+    # but never let it compete for the headline
+    live_eff = eff if eff <= EFF_CEILING else -1.0
     if (adm_raw is not None
-            and adm_raw["efficiency_n_to_4n"] >= eff
+            and adm_raw["efficiency_n_to_4n"] >= live_eff
             and adm_raw["efficiency_n_to_4n"] >= (
                 hunt["efficiency_n_to_4n"] if hunt else -1.0)):
         # a single-window measured pair admitted by the documented rule
@@ -525,7 +561,7 @@ def _assemble_scaling(n_small, cyc_small, cyc_big, eff, attempts,
         wall_small = adm_raw.get("wall_s_small")
         wall_big = adm_raw.get("wall_s_big")
         pages = adm_raw.get("pages")
-    elif hunt is not None and hunt["efficiency_n_to_4n"] > eff:
+    elif hunt is not None and hunt["efficiency_n_to_4n"] > live_eff:
         headline_eff = hunt["efficiency_n_to_4n"]
         headline_cal = hunt["cal_min"]
         recorded_from = "session_hunt"

@@ -148,7 +148,9 @@ def main() -> None:
         with open(LOG, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-        if rec["qualified"] and eff >= 0.8:
+        # eff > 1.0 is super-linear — the pair's own small side was
+        # stalled (bench.py EFF_CEILING); it can't count as a success
+        if rec["qualified"] and 0.8 <= eff <= 1.0:
             successes += 1
     print(json.dumps({"done": True, "successes": successes}), flush=True)
 

@@ -89,6 +89,49 @@ def test_hunt_best_prefers_genuinely_qualified(bench):
     assert best["n_qualified_attempts"] == 1
 
 
+def test_superlinear_raw_pair_never_wins_admissible_selection(bench):
+    # the real 2026-08-18T23:11:30 artifact: raw 1.152 with clean cal
+    # probes on both sides — the pair's own SMALL side was stalled
+    # mid-run, which the cal band around it cannot see. It must not be
+    # promoted as best_admissible_raw, nor counted in the >=0.8 census.
+    _write_log(bench, [
+        _rec("t1", 1.152, 0.878, 0.888),
+        _rec("t2", 0.85, 0.83, 0.84),
+        _rec("t3", 0.72, 0.82, 0.86),
+    ])
+    norm = bench._hunt_best_normalized()
+    assert norm["best_admissible_raw"]["ts"] == "t2"
+    assert norm["n_admissible_raw_ge_0_8"] == 1
+    assert norm["n_admissible_attempts"] == 2
+
+
+def test_superlinear_raw_pair_never_wins_qualified_selection(bench):
+    _write_log(bench, [
+        _rec("t1", 1.09, 0.95, 0.93, qualified=True),
+        _rec("t2", 0.82, 0.96, 0.91, qualified=True),
+    ])
+    best = bench._hunt_best()
+    assert best["ts"] == "t2"
+    assert best["n_qualified_attempts"] == 1
+
+
+def test_cluster_best_skips_superlinear(bench):
+    recs = [
+        {"ts": "c1", "cal_before": 0.9, "cal_after": 0.91, "cal_min": 0.9,
+         "wall_s_small": 40.0, "wall_s_big": 8.0,
+         "efficiency_n_to_4n": 1.25, "efficiency_normalized_by_host": 1.38,
+         "qualified": True},
+        {"ts": "c2", "cal_before": 0.8, "cal_after": 0.82, "cal_min": 0.8,
+         "wall_s_small": 40.0, "wall_s_big": 14.0,
+         "efficiency_n_to_4n": 0.714, "efficiency_normalized_by_host": 0.88,
+         "qualified": False},
+    ]
+    _write_log(bench, recs, name="cluster_scaling_attempts.jsonl")
+    best = bench._cluster_best()
+    assert best["ts"] == "c2"
+    assert best["selection"] == "admissible_normalized"
+
+
 def test_normalized_admission_uses_band(bench):
     _write_log(bench, [
         _rec("t1", 0.9, 2.186, 0.913),   # probe invalid: excluded
