@@ -28,7 +28,11 @@ print(calibrate(8, 32))" 2>/dev/null)
   OK=$(python -c "print(1 if $GATE <= $CAL <= 1.15 else 0)")
   echo "[cluster-hunt $i] $(date -u +%H:%M:%S) probe cal=$CAL gate=$GATE ok=$OK"
   if [ "$OK" = "1" ]; then
-    timeout 1200 python scripts/cluster_scaling.py 2 4 2 2>/dev/null | tail -1
+    # n_runs=1: today's quiet windows (cal_before 0.98 -> cal_after 0.50
+    # inside one pair) are shorter than the 2-run exposure; a single
+    # timed run per side halves the window the pair must survive, and
+    # the before/after calibration gate still invalidates stalled runs.
+    timeout 1200 python scripts/cluster_scaling.py 2 4 "${CLUSTER_HUNT_RUNS:-1}" 2>/dev/null | tail -1
   else
     sleep 45
   fi
