@@ -294,9 +294,16 @@ def _cluster_best() -> dict | None:
         # de-biased cross-attempt estimator (same rationale as the local
         # hunt's fallback): each level's wall from its least-stalled
         # window — refuses to cherry-pick a single window where steal
-        # inflated the SMALL side
-        ws = min(r["wall_s_small"] for r in recs)
-        wb = min(r["wall_s_big"] for r in recs)
+        # inflated the SMALL side. Only same-TOPOLOGY attempts are
+        # comparable (the log also holds SC_EXEC_CORES=2 geometry-control
+        # pairs): restrict to the largest same-geometry group.
+        by_geo: dict = {}
+        for r in recs:
+            key = (r.get("n_executors_small"), r.get("executor_spec"))
+            by_geo.setdefault(key, []).append(r)
+        geo = max(by_geo.values(), key=len)
+        ws = min(r["wall_s_small"] for r in geo)
+        wb = min(r["wall_s_big"] for r in geo)
         out["cross_attempt_best_pair"] = {
             "wall_s_small": ws, "wall_s_big": wb,
             "efficiency_n_to_4n": round(ws / wb / 4.0, 3),
