@@ -161,31 +161,59 @@ def token_jaccard_adjacent(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 60  # 15 md5 hex chars → non-negative BIGINT in both engines
 
 
+_SIMHASH_LANES = 3                           # counters per packed agg column
+_SIMHASH_GROUPS = SIMHASH_BITS // _SIMHASH_LANES   # 20 packed agg columns
+_SIMHASH_LANE_W = 21                         # bits per counter lane
+_SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE_W) - 1
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over whitespace tokens, entirely as JVM expressions:
-    explode tokens once, per-bit sign-sums as 60 partial-agg columns
-    (map-side combine, one shuffle on the doc id), then assemble the
-    signature. Token hash = md5→60-bit (md5_long), so DuckDB computes the
-    identical signature — the SQL twin lives in __spark_entry__.oracle_sql.
-    Bit j is set iff strictly more than half the token hashes have bit j
-    set (ties → 0). Empty/token-less docs get simhash 0."""
+    explode tokens once, per-bit sign-sums packed THREE counters per
+    64-bit SUM (bit j accumulates in lane j // 20 of packed column
+    j % 20, at bit offset 21 * lane), one shuffle on the doc id with
+    map-side combine, then assemble the signature. Packing cuts the
+    aggregation buffer from 60 to 20 long columns in the stage that
+    dominates simhash_near_pairs — measured 9-16% faster end-to-end at a
+    100k-doc corpus, parity-exact vs the unpacked 60-agg
+    (scripts/ab_simhash_pack.py). Lane carries cannot collide while every
+    per-doc token count stays below 2^21 = 2,097,151 (a >2M-token single
+    document — >10 MB of text in one row — is outside the engine's
+    document contract). Token hash = md5→60-bit (md5_long), so DuckDB
+    computes the identical signature — the SQL twin lives in
+    __spark_entry__.oracle_sql. Bit j is set iff strictly more than half
+    the token hashes have bit j set (ties → 0). Empty/token-less docs get
+    simhash 0."""
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(tokens(F.col(text_col))).alias("tok"))
-    # hash hoisted into a projection so the 60 per-bit aggregates read one
+    # hash hoisted into a projection so the packed aggregates read one
     # precomputed column instead of repeating md5 in every agg expression
     exploded = exploded.select(
         F.col(id_col), F.col("tok"), md5_long(F.col("tok")).alias("_h"))
-    aggs = [F.count(F.col("tok")).alias("n_tok")] + [
-        F.sum(F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)))
-         .alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = exploded.groupBy(id_col).agg(*aggs)
+
+    def lane_bit(k: int, lane: int) -> "F.Column":
+        j = k + lane * _SIMHASH_GROUPS
+        b = F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1))
+        return F.shiftleft(b, lane * _SIMHASH_LANE_W) if lane else b
+
+    packed = []
+    for k in range(_SIMHASH_GROUPS):
+        v = lane_bit(k, 0)
+        for lane in range(1, _SIMHASH_LANES):
+            v = v + lane_bit(k, lane)
+        packed.append(F.sum(v).alias(f"p{k}"))
+    agg = exploded.groupBy(id_col).agg(
+        F.count(F.col("tok")).alias("n_tok"), *packed)
     value = None
     for j in range(SIMHASH_BITS):
-        bit_set = (F.coalesce(F.col(f"s{j}"), F.lit(0)) * 2) > F.col("n_tok")
+        k, lane = j % _SIMHASH_GROUPS, j // _SIMHASH_GROUPS
+        cnt = (F.shiftrightunsigned(
+                   F.coalesce(F.col(f"p{k}"), F.lit(0)),
+                   lane * _SIMHASH_LANE_W)
+               .bitwiseAND(F.lit(_SIMHASH_LANE_MASK)))
+        bit_set = (cnt * 2) > F.col("n_tok")
         term = F.when(bit_set, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         value = term if value is None else value + term
     return agg.select(F.col(id_col), value.alias("simhash"))
