@@ -454,7 +454,16 @@ def ngram_span_dedup(df: DataFrame, n: int = 8, text_col: str = "text",
 
     Scale shape: occurrences explode once (len-n+1 rows/doc, linear in
     corpus tokens); span identity is md5 of the joined gram so the
-    group-by key is fixed-width; the per-span (count, canonical) agg is
+    group-by key is fixed-width (hex string deliberately: parsing it into
+    long pairs via conv(substring(...)) per occurrence measured SLOWER
+    end-to-end than the wider shuffle it saves — scripts/ab_ngram_key.py);
+    the occurrence projection is COMPUTED TWICE (once under the stats agg,
+    once on the join side — no ReusedExchange, because map-side partial
+    aggregation makes the two exchanges non-identical) and that is the
+    intended trade: recomputing a cheap split+explode+md5 projection from
+    the columnar scan beats materializing a corpus-token-scale occurrence
+    table, and the partial agg it buys keeps the stats shuffle skew-safe;
+    the per-span (count, canonical) agg is
     map-side combinable (never a window over the span key — a boilerplate
     span occurring 10^9 times would put 10^9 rows in one window
     partition, while partial aggregation reduces them in-mapper); covered
