@@ -258,6 +258,29 @@ def _hunt_best_normalized() -> dict | None:
     }
 
 
+def _cluster_parity_summary() -> dict | None:
+    """Correctness-under-cluster evidence (scripts/cluster_parity.py):
+    full-SparkCrawler crawl order + seen set vs the Python reference
+    oracle, submitted via spark-submit --py-files onto local-cluster
+    masters. Parity is calibration-independent, so every logged run
+    counts (host weather cannot invalidate a match/mismatch)."""
+    path = os.path.join(REPO, "BENCH", "cluster_parity.jsonl")
+    try:
+        with open(path) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        return None
+    if not recs:
+        return None
+    return {
+        "executor_counts": sorted({r["n_executors"] for r in recs}),
+        "order_modes": sorted({m for r in recs for m in r.get("modes", {})}),
+        "n_runs": len(recs),
+        "all_match": all(r.get("all_match") for r in recs),
+        "latest_ts": max(r["ts"] for r in recs),
+    }
+
+
 def _cluster_best() -> dict | None:
     """Best TRUE-multi-executor attempt (scripts/cluster_scaling.py:
     spark-submit --py-files at local-cluster[N,4,8g] — N separate
@@ -529,6 +552,10 @@ def main():
                   "selection")
                  if k in sc["local_cluster"]}
                 if sc.get("local_cluster") else None),
+            # correctness under the same spark-submit/local-cluster path:
+            # crawl order + seen set vs the reference oracle, per executor
+            # count and queue discipline (BENCH/cluster_parity.jsonl)
+            "cluster_parity": sc.get("cluster_parity"),
             "quiet_window_efficiency":
                 sc["quiet_window_reference"]["efficiency_n_to_4n"],
             "attempts": sc["attempts"],
@@ -613,6 +640,7 @@ def _assemble_scaling(n_small, cyc_small, cyc_big, eff, attempts,
             # only the executor count differs. The closest this sandbox
             # gets to the north rule's two real cluster sizes.
             "local_cluster": _cluster_best(),
+            "cluster_parity": _cluster_parity_summary(),
             "pair_4_to_16": {
                 "cycle_core_wall_s_local[4]": cyc4["wall_s"],
                 "cycle_core_wall_s_local[16]": cyc16["wall_s"],

@@ -144,3 +144,28 @@ def test_normalized_admission_uses_band(bench):
     assert norm["best_admissible_raw"]["efficiency_n_to_4n"] == 0.888
     # normalized figure is capped at 1.0 (steal can inflate either way)
     assert norm["efficiency_normalized_by_host"] <= 1.0
+
+
+def test_cluster_parity_summary(bench):
+    assert bench._cluster_parity_summary() is None  # no log yet
+    recs = [
+        {"ts": "2026-08-19T23:11:00", "n_executors": 2, "all_match": True,
+         "modes": {"random": {"order_match": True, "seen_match": True},
+                   "fifo": {"order_match": True, "seen_match": True}}},
+        {"ts": "2026-08-19T23:13:51", "n_executors": 4, "all_match": True,
+         "modes": {"random": {"order_match": True, "seen_match": True},
+                   "fifo": {"order_match": True, "seen_match": True}}},
+    ]
+    _write_log(bench, recs, name="cluster_parity.jsonl")
+    s = bench._cluster_parity_summary()
+    assert s["executor_counts"] == [2, 4]
+    assert s["order_modes"] == ["fifo", "random"]
+    assert s["n_runs"] == 2 and s["all_match"] is True
+    # one mismatching run flips the aggregate — a parity failure can
+    # never be averaged away
+    recs.append({"ts": "2026-08-19T23:20:00", "n_executors": 8,
+                 "all_match": False,
+                 "modes": {"random": {"order_match": False,
+                                      "seen_match": True}}})
+    _write_log(bench, recs, name="cluster_parity.jsonl")
+    assert bench._cluster_parity_summary()["all_match"] is False
