@@ -36,10 +36,11 @@ def _ensure_zip():
         cwd=REPO, check=True)
 
 
-def submit_parity(n_exec: int) -> dict:
+def _submit(n_exec: int, extra_env: dict | None = None) -> dict:
     import pyspark
     submit = os.path.join(os.path.dirname(pyspark.__file__), "bin",
                           "spark-submit")
+    env = {**os.environ, **(extra_env or {})}
     out = subprocess.run(
         [submit, "--master", f"local-cluster[{n_exec},{CORES},{MEM_MB}]",
          "--conf", f"spark.sql.shuffle.partitions={n_exec * CORES}",
@@ -50,15 +51,36 @@ def submit_parity(n_exec: int) -> dict:
          "--conf", "spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=4",
          "--py-files", ZIP,
          os.path.join(REPO, "scripts", "submit_parity.py")],
-        capture_output=True, text=True, timeout=1200, cwd=REPO)
+        capture_output=True, text=True, timeout=1200, cwd=REPO, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"no JSON from spark-submit: {out.stderr[-2000:]}")
 
 
+def submit_parity(n_exec: int) -> dict:
+    return _submit(n_exec)
+
+
+def submit_resume(n_exec: int) -> dict:
+    """Checkpoint/resume across two separate spark-submit invocations:
+    the first JVM (driver + executors) seeds, crawls 3 cycles with
+    per-cycle snapshots into a shared workdir, and DIES; a brand-new
+    submission resumes from the parquet snapshot and must converge to
+    the exact final frontier state of an uninterrupted crawl."""
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="sc_cluster_resume_")
+    first = _submit(n_exec, {"SC_PARITY_PHASE": "resume_first",
+                             "SC_PARITY_WORKDIR": workdir})
+    second = _submit(n_exec, {"SC_PARITY_PHASE": "resume_second",
+                              "SC_PARITY_WORKDIR": workdir})
+    return {"first": first, "second": second,
+            "all_match": bool(second.get("all_match"))}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    with_resume = os.environ.get("SC_PARITY_RESUME", "1") != "0"
     _ensure_zip()
     res = submit_parity(n)
     rec = {
@@ -67,6 +89,11 @@ def main():
         "executor_spec": f"{CORES} cores / {MEM_MB - 1024}m each",
         **res,
     }
+    if with_resume:
+        rec["resume_across_jvm_lifetimes"] = submit_resume(n)
+        rec["all_match"] = bool(
+            rec["all_match"]
+            and rec["resume_across_jvm_lifetimes"]["all_match"])
     with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)

@@ -34,3 +34,21 @@ def test_crawl_parity_under_local_cluster():
         assert res["modes"][mode]["crawled"] == \
             res["modes"][mode]["oracle_crawled"]
     assert res["all_match"]
+
+
+def test_resume_across_jvm_lifetimes_under_local_cluster():
+    """Snapshot written by one spark-submit JVM tree, resumed by a brand
+    new one: the resumed crawl's final frontier state must equal an
+    uninterrupted crawl's, and the uninterrupted run must match the
+    reference oracle."""
+    from cluster_parity import _ensure_zip, submit_resume
+
+    _ensure_zip()
+    res = submit_resume(2)
+    second = res["second"]
+    assert second["snapshot_found"]
+    assert second["final_state_match"]
+    assert second["seen_match"]
+    assert second["uninterrupted_order_match"]
+    assert second["uninterrupted_seen_match"]
+    assert res["all_match"]
