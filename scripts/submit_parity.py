@@ -45,7 +45,7 @@ from pyspark.sql import SparkSession
 STATE_COLS = ["url", "status_code", "error_code", "num_errors", "seq"]
 
 
-def run_mode(spark, order_mode: str) -> dict:
+def run_mode(spark, order_mode: str, use_bloom: bool = False) -> dict:
     # imports AFTER the session exists — the package arrives via --py-files
     from supercrawler_spark import fixtures
     from supercrawler_spark.crawler import CrawlConfig, SparkCrawler
@@ -55,7 +55,9 @@ def run_mode(spark, order_mode: str) -> dict:
     seeds, web, _images = fixtures.make_web_fixture(n_hosts=3, pages_per_host=4)
     web_df = spark.createDataFrame(web)
     cr = SparkCrawler(spark, web_df, tempfile.mkdtemp(),
-                      CrawlConfig(budget=8, order_mode=order_mode))
+                      CrawlConfig(budget=8, order_mode=order_mode,
+                                  use_bloom=use_bloom,
+                                  bloom_partitions=8))
     cr.seed(list(seeds["url"]))
     cr.crawl(max_cycles=100)
 
@@ -150,6 +152,9 @@ def main():
                                 if k not in ("phase",))}
     else:
         modes = {m: run_mode(spark, m) for m in ("random", "fifo")}
+        # scale-path seen set: the distributed pid-keyed Bloom table
+        # (cogroup probe) under separate executor JVMs + netty shuffle
+        modes["random_bloom"] = run_mode(spark, "random", use_bloom=True)
         out = {
             "master": master,
             "n_executors": n_exec(),

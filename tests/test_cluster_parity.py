@@ -28,7 +28,7 @@ def test_crawl_parity_under_local_cluster():
     _ensure_zip()
     res = submit_parity(2)
     assert res["n_executors"] == 2
-    for mode in ("random", "fifo"):
+    for mode in ("random", "fifo", "random_bloom"):
         assert res["modes"][mode]["order_match"], mode
         assert res["modes"][mode]["seen_match"], mode
         assert res["modes"][mode]["crawled"] == \
