@@ -358,16 +358,27 @@ class SparkCrawler:
             F.broadcast(self._delta.select("url")), "url", "left_anti")
         return live_base.select(*cols).unionByName(self._delta.select(*cols))
 
-    def _apply_changes(self, changes: DataFrame) -> None:
+    def _apply_changes(self, changes: DataFrame,
+                       keys: DataFrame | None = None) -> None:
         """Fold a batch of upserted rows (current full rows for touched
         keys) into the delta layer — one eager localCheckpoint of
-        O(batch + |delta|) rows; the base layer is untouched."""
+        O(batch + |delta|) rows; the base layer is untouched.
+
+        ``keys``: optional pre-pinned DataFrame with exactly the ``url``
+        key set of ``changes``. The superseded-row anti-join needs only
+        the keys, but building its broadcast from ``changes`` itself
+        evaluates the whole upsert plan a second time (once for the
+        broadcast, once in the checkpoint job). Callers that already hold
+        the key set on checkpointed/persisted frames (the cycle: popped
+        batch ∪ new links) pass it here so the merge plan runs exactly
+        once, inside the checkpoint job."""
         cols = [f.name for f in FRONTIER_SCHEMA]
         if self._delta is None:
             merged = changes.select(*cols)
         else:
+            key_df = (keys if keys is not None else changes).select("url")
             kept = self._delta.join(
-                F.broadcast(changes.select("url")), "url", "left_anti")
+                F.broadcast(key_df), "url", "left_anti")
             merged = changes.select(*cols).unionByName(kept.select(*cols))
         # bound the delta's partition count: unions add partitions every
         # cycle (32 + 64 + ... → hundreds of near-empty tasks by cycle N);
@@ -871,12 +882,20 @@ class SparkCrawler:
         stats.links_found = int(n_links) - len(robots_inserts)
 
         if n_links:
-            # first occurrence within the cycle wins (unique-index semantics, J1)
-            w_dup = Window.partitionBy("url").orderBy("batch_idx", "source_order", "link_idx")
+            # first occurrence within the cycle wins (unique-index semantics,
+            # J1). min(struct) ordered lexicographically by (batch_idx,
+            # source_order, link_idx) ≡ the first-occurrence window, but as a
+            # hash aggregate it gets MAP-SIDE partial combine: duplicate
+            # links (common on the web — nav bars, footers) collapse before
+            # the url-key exchange, and there is no per-group sort. The
+            # window form shuffles every duplicate row then sorts each group.
             links_unique = (links_all
-                            .withColumn("_rn", F.row_number().over(w_dup))
-                            .filter(F.col("_rn") == 1)
-                            .drop("_rn"))
+                            .groupBy("url")
+                            .agg(F.min(F.struct("batch_idx", "source_order",
+                                                "link_idx")).alias("_k"))
+                            .select("url", F.col("_k.batch_idx").alias("batch_idx"),
+                                    F.col("_k.source_order").alias("source_order"),
+                                    F.col("_k.link_idx").alias("link_idx")))
 
             # dedup vs the seen set (= the whole frontier): Bloom-prefiltered
             # (scale path), and the exact verify streams the frontier
@@ -988,7 +1007,13 @@ class SparkCrawler:
         changes = merged if new_rows is None else merged.unionByName(new_rows)
         if self.plan_sink is not None:
             self.plan_sink["merge"] = plan_str(changes)
-        self._apply_changes(changes)
+        # key set for the delta fold, from frames that are already pinned
+        # (frame: eager localCheckpoint at pop; new_rows: persisted) — the
+        # merged plan itself then evaluates only once, in the checkpoint job
+        changed_keys = (frame.select("url") if new_rows is None
+                        else frame.select("url")
+                                  .unionByName(new_rows.select("url")))
+        self._apply_changes(changes, keys=changed_keys)
         ph.mark('checkpoint')
         # the delta checkpoint materialized new_rows — read back the new max
         # seq from the (small) delta instead of scanning the frontier
