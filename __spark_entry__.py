@@ -41,6 +41,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _est_scan_tasks(path: str) -> int:
+    """Upper bound on the parquet scan's task count from file sizes alone
+    (one split per spark.sql.files.maxPartitionBytes default 128 MB; a
+    single row group can't split further, so this never underestimates
+    the parallelism problem). Pure os.stat — no Spark job, no plan."""
+    import glob as _glob
+    if os.path.isdir(path):
+        files = _glob.glob(os.path.join(path, "*.parquet")) or [path]
+    else:
+        files = [path]
+    maxpb = 128 << 20
+    total = 0
+    for f in files:
+        try:
+            total += max(1, -(-os.path.getsize(f) // maxpb))
+        except OSError:
+            total += 1
+    return total
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """_t plus an ADAPTIVE scan-parallelism floor (optimization guide §2.5,
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"): the SF tables are single-file single-row-group
+    parquet, so every pre-exchange operator (tokenize, explode, md5,
+    regex, UDF) otherwise runs in ONE task regardless of cores. When the
+    estimated scan task count is below the session's parallelism, hash-
+    repartition on a deterministic high-cardinality column (``key`` — a
+    keyed exchange, NOT round-robin, so no sort-before-repartition pass
+    and identical subtrees become one ReusedExchange). Width = the
+    session's shuffle partitions, so downstream aggregations keyed on
+    ``key`` (or any superset) reuse this partitioning and plan no second
+    exchange. At cluster scale inputs carry >= cores splits and this is
+    a structural no-op — the guard is data-derived, not host-derived."""
+    df = _t(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if _est_scan_tasks(os.path.join(sf_dir, f"{name}.parquet")) >= n:
+        return df
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, F.col(key))
+
+
 def _epoch(col) -> F.Column:
     """epoch seconds (BIGINT) of a timestamp_ntz column, truncating."""
     return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) \
@@ -216,11 +258,11 @@ def q3_top_revenue(spark, sf_dir):
 # ===========================================================================
 
 def q_dedup_exact(spark, sf_dir):
-    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+    return DD.exact_dedup(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_dedup_fingerprint(spark, sf_dir):
-    return DD.fingerprint_dedup(_t(spark, sf_dir, "documents"))
+    return DD.fingerprint_dedup(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_dedup_exact_fp(spark, sf_dir):
@@ -228,6 +270,9 @@ def q_dedup_exact_fp(spark, sf_dir):
     former dedup_exact + dedup_fingerprint queries tag-unioned into one
     recorded row (both kernels stay fully oracle-checked) to hold the
     surface at the driver's 50-entry recording cap."""
+    # measured (r6): the md5/fingerprint partial-aggs are cheaper than one
+    # full-row exchange of the text column — the _ts spread regressed this
+    # query 0.36->0.62 s, so it deliberately stays on the plain scan
     docs = _t(spark, sf_dir, "documents")
     a = DD.exact_dedup(docs).select(
         F.lit("exact").alias("kind"),
@@ -242,7 +287,7 @@ def q_ngram_span_dedup(spark, sf_dir):
     """Exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
     Spark-native n-gram occurrence plan — see dedup.ngram_span_dedup):
     every duplicated 8-token span keeps only its corpus-first occurrence."""
-    return DD.ngram_span_dedup(_t(spark, sf_dir, "documents"), n=8)
+    return DD.ngram_span_dedup(_ts(spark, sf_dir, "documents", "doc_id"), n=8)
 
 
 def q_corpus_resample(spark, sf_dir):
@@ -252,7 +297,7 @@ def q_corpus_resample(spark, sf_dir):
     cross-engine float), (b) per-source document cap at 10 by
     deterministic hash order (WindowGroupLimit pre-limits map-side)."""
     from supercrawler_spark.datapipe import sampling as SP
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     a = SP.stratified_temperature_sample(docs, stratum_col="lang").select(
         F.lit("temperature").alias("kind"), "doc_id",
         F.col("lang").alias("stratum"),
@@ -265,16 +310,16 @@ def q_corpus_resample(spark, sf_dir):
 
 
 def q_token_jaccard(spark, sf_dir):
-    return DD.token_jaccard_adjacent(_t(spark, sf_dir, "documents"))
+    return DD.token_jaccard_adjacent(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return DD.minhash_signatures(_t(spark, sf_dir, "documents"),
+    return DD.minhash_signatures(_ts(spark, sf_dir, "documents", "doc_id"),
                                  num_hashes=4, shingle_n=2)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+    return DD.minhash_lsh_pairs(_ts(spark, sf_dir, "documents", "doc_id"),
                                 num_hashes=4, bands=2, shingle_n=2)
 
 
@@ -282,7 +327,7 @@ def q_lsh_jaccard_dedup(spark, sf_dir):
     """The full MinHash dedup pipeline end-to-end: shingle → LSH banding →
     candidate pairs → exact Jaccard verify on candidates only → near-dup
     pairs at >= 0.5. Never touches the O(n²) pair space."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     pairs = DD.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=2)
     return (DD.jaccard_pairs(docs, pairs, shingle_n=2)
             .filter(F.col("jaccard") >= 0.5))
@@ -294,7 +339,7 @@ def q_dedup_clusters(spark, sf_dir):
     assignment (cluster_id = min doc id). Hash-min label propagation, one
     join + partial-agg min per round; the oracle replays it as a DuckDB
     recursive-CTE reachability (exact at sf0.01 pair counts)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     pairs = (DD.jaccard_pairs(
         docs, DD.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=2),
         shingle_n=2).filter(F.col("jaccard") >= 0.5))
@@ -304,31 +349,31 @@ def q_dedup_clusters(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """60-bit SimHash as pure JVM expressions (md5-keyed token hashes) —
     oracle-checked: DuckDB computes the identical signature."""
-    return DD.simhash(_t(spark, sf_dir, "documents"))
+    return DD.simhash(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_simhash_near_pairs(spark, sf_dir):
     """Pigeonhole-complete near-pair generation: max_hamming+1 chunks, so
     h=8 uses 9 bit-bands (the round-1 4x16-bit version silently missed
     pairs beyond h=3)."""
-    return DD.simhash_near_pairs(_t(spark, sf_dir, "documents"),
+    return DD.simhash_near_pairs(_ts(spark, sf_dir, "documents", "doc_id"),
                                  max_hamming=8)
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_quality_score(spark, sf_dir):
-    return TX.quality_features(_t(spark, sf_dir, "documents"))
+    return TX.quality_features(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_token_counts(spark, sf_dir):
     """Whitespace token counting + BPE-ish subword-unit counting (regex
     pre-tokenizer analog) — former token_count + bpe_token_count queries
     merged into one documents pass (50-entry recording cap)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return docs.select("doc_id",
                        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
                        TX.bpe_token_count(F.col("text")).cast("long")
@@ -336,14 +381,14 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
 def q_rolling_fingerprint(spark, sf_dir):
     """Order-sensitive Rabin-Karp rolling hash over the token stream
     (higher-order aggregate, one JVM pass)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return docs.select("doc_id",
                        TX.rolling_fingerprint(F.col("text")).alias("roll_hash"))
 
@@ -354,7 +399,7 @@ def q_quality_gate(spark, sf_dir):
     gate. Each stage is its own one-pass aggregation; the join keys are the
     doc id, so the compose adds no extra corpus scans beyond its inputs.
     Oracle = the same three SQL blocks nested as derived tables."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     quality = TX.quality_features(docs).select("doc_id", "quality_score")
     rep = TX.repetition_ratio(docs, n=3).select("doc_id", "repetition_ratio")
     eval_docs = docs.filter(F.col("doc_id") < 10)
@@ -377,7 +422,7 @@ def q_contamination_screen(spark, sf_dir):
     """Decontamination gate: fraction of each doc's distinct 3-grams found
     in a blocklist (here: the 3-grams of docs 0-9, standing in for an eval
     set). Blocklist broadcasts; the corpus explodes once, never shuffles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     eval_docs = docs.filter(F.col("doc_id") < 10)
     blocklist = (eval_docs
                  .select(TX.tokens(F.col("text")).alias("_toks"))
@@ -392,7 +437,7 @@ def q_pii_redact(spark, sf_dir):
     onto each document (so the operator has real matches to find), then
     counted and redacted to typed placeholders — all JVM regexp, RE2-safe
     patterns, exact DuckDB twin (regexp_replace with 'g')."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -413,25 +458,25 @@ def q_pii_redact(spark, sf_dir):
 def q_repetition_ratio(spark, sf_dir):
     """Gopher-style repetition quality signal: frequency share of the most
     repeated 3-gram per document (exploded two-level agg, JVM-only)."""
-    return TX.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)
+    return TX.repetition_ratio(_ts(spark, sf_dir, "documents", "doc_id"), n=3)
 
 
 def q_unigram_logprob(spark, sf_dir):
     """CCNet-style perplexity proxy: per-doc mean -log p(token) under the
     corpus unigram distribution (two-pass corpus-global: vocab agg +
     rejoin on token; all JVM)."""
-    return TX.unigram_logprob_score(_t(spark, sf_dir, "documents"))
+    return TX.unigram_logprob_score(_ts(spark, sf_dir, "documents", "doc_id"))
 
 
 def q_line_dedup(spark, sf_dir):
     """RefinedWeb-style corpus-global line dedup: lines appearing in >1
     distinct documents (nav/footer boilerplate) drop from every document;
     per-doc ordered reassembly."""
-    return DD.line_dedup(_t(spark, sf_dir, "documents"), max_doc_freq=1)
+    return DD.line_dedup(_ts(spark, sf_dir, "documents", "doc_id"), max_doc_freq=1)
 
 
 def q_embedding_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _ts(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 20)
     return SIM.brute_force_topk(emb, queries, k=5)
@@ -496,8 +541,16 @@ def q_multimodal_pipeline(spark, sf_dir):
     tests/test_multimodal.py."""
     from supercrawler_spark import fixtures
     from supercrawler_spark.datapipe import multimodal as MM
-    images = spark.createDataFrame(fixtures.make_images(32, seed=42))
-    videos = spark.createDataFrame(fixtures.make_videos(8, n_frames=12, seed=42))
+    # the fixture tables are 32/8 rows: createDataFrame slices them across
+    # defaultParallelism partitions, turning each mapInPandas kernel below
+    # into ~32 near-empty Python tasks (measured 168-task stages for 187
+    # output rows). coalesce(1) keeps every kernel a single real Arrow
+    # batch — guide §4.2 (batch sizes large enough to amortize) + §6
+    # (small-files/tiny-partitions overhead); corpus-scale inputs never
+    # take this path (they arrive as parquet scans, not driver fixtures).
+    images = spark.createDataFrame(fixtures.make_images(32, seed=42)).coalesce(1)
+    videos = spark.createDataFrame(
+        fixtures.make_videos(8, n_frames=12, seed=42)).coalesce(1)
     dec = MM.decode_features(images).select(
         F.lit("decode").alias("kind"), F.col("image_id").alias("item_id"),
         F.lit(None).cast("int").alias("frame_idx"), "w", "h", "fmt", "phash",
@@ -527,7 +580,7 @@ def q_multimodal_pipeline(spark, sf_dir):
         "w": int(pdf.loc[0, "w"]), "h": int(pdf.loc[0, "h"]),
         "fmt": "png", "caption": str(pdf.loc[0, "caption"]),
         "phash": 424242}])], ignore_index=True)
-    curated = spark.createDataFrame(planted)
+    curated = spark.createDataFrame(planted).coalesce(1)
     ddp = XM.crossmodal_dedup(curated).select(
         F.lit("xm_dedup").alias("kind"), F.col("image_id").alias("item_id"),
         F.lit(None).cast("int").alias("frame_idx"),
@@ -549,9 +602,17 @@ def q_multimodal_pipeline(spark, sf_dir):
         F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
         "fmt", F.lit(None).cast("long").alias("phash"),
         F.lit(None).cast("double").alias("metric"), F.col("keep").alias("ok"))
+    # total order on a 187-row result WITHOUT a rangepartitioning
+    # exchange: orderBy here planned Exchange rangepartitioning(.., 32),
+    # whose boundary-sampling pass re-executed every union branch (all
+    # five mapInPandas kernels ran twice per bench run). coalesce(1) +
+    # sortWithinPartitions is the same total order (sort keys are unique
+    # per row), one pass, zero exchanges — guide §2.4 (remove shuffles
+    # outright: an orderBy used only to make output deterministic).
     return (dec.unionByName(ver).unionByName(frm)
             .unionByName(ddp).unionByName(aln).unionByName(gate)
-            .orderBy("kind", "item_id", "frame_idx"))
+            .coalesce(1)
+            .sortWithinPartitions("kind", "item_id", "frame_idx"))
 
 
 def _phash_fixture_pdf():
@@ -584,8 +645,13 @@ def q_image_phash_dup_pairs(spark, sf_dir):
     end-to-end, not just in pytest."""
     from supercrawler_spark.datapipe import multimodal as MM
     pdf = _phash_fixture_pdf()
-    return (MM.phash_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
-            .orderBy("id_a", "id_b"))
+    # coalesce(1): 33 fixture rows otherwise decode across ~32 near-empty
+    # Python tasks; single-partition total sort replaces the orderBy's
+    # rangepartitioning exchange + its boundary-sampling re-execution
+    # (same rationale as q_multimodal_pipeline; (id_a, id_b) is unique).
+    return (MM.phash_dup_pairs(spark.createDataFrame(pdf).coalesce(1),
+                               max_hamming=10)
+            .coalesce(1).sortWithinPartitions("id_a", "id_b"))
 
 
 def _phash_oracle_sql() -> str:
@@ -621,10 +687,13 @@ def q_audio_features(spark, sf_dir):
     an exact SQL oracle for a binary-decode pipeline."""
     from supercrawler_spark import fixtures
     from supercrawler_spark.datapipe import multimodal as MM
-    audio = spark.createDataFrame(fixtures.make_audio(16))
+    audio = spark.createDataFrame(fixtures.make_audio(16)).coalesce(1)
+    # single-partition sort: same total order (audio_id unique), no
+    # rangepartitioning exchange, no sampling re-run of the WAV decode
+    # kernel (same rationale as q_multimodal_pipeline)
     return (MM.audio_features(audio)
             .select("audio_id", "sample_rate", "n_samples", "duration_s", "rms")
-            .orderBy("audio_id"))
+            .coalesce(1).sortWithinPartitions("audio_id"))
 
 
 def q_streaming_window_counts(spark, sf_dir):
@@ -655,7 +724,7 @@ def q_html_link_extract(spark, sf_dir):
     """P1 htmlLinkParser through the production kernel: anchors (relative +
     root-relative), a javascript: link that must be dropped, and a
     link[rel=alternate] — resolution/canonicalization oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id").cast("string")
     page_url = F.concat(F.lit("http://site"), (F.col("doc_id") % 10),
                         F.lit(".example/dir/page"), d, F.lit(".html"))
@@ -677,7 +746,7 @@ def q_html_link_extract(spark, sf_dir):
 def q_sitemap_extract(spark, sf_dir):
     """P3 sitemapsParser through the production kernel, half the corpus
     gzip-compressed (C12 gunzip path) — loc extraction oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id").cast("string")
     xml = F.concat(
         F.lit('<?xml version="1.0"?><urlset><url><loc>http://sm.example/u'),
@@ -705,7 +774,7 @@ def q_sitemap_extract(spark, sf_dir):
 def q_robots_sitemap_extract(spark, sf_dir):
     """P2 robotsParser through the production kernel: Sitemap: directives
     (relative + absolute) extracted from /robots.txt bodies only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id").cast("string")
     txt = F.concat(
         F.lit("User-agent: *\nDisallow: /private\nSitemap: /sm"), d,
@@ -739,7 +808,7 @@ def q_url_primitives(spark, sf_dir):
     canonicalize (lowercase scheme+host, keep port/query, drop fragment),
     resolve (relative + root-relative), robots URL, hostname."""
     from supercrawler_spark import functions as SF
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id").cast("string")
     messy = F.concat(F.lit("HTTP://Site"), (F.col("doc_id") % 50),
                      F.lit(".EXAMPLE:8080/dir/p"), d, F.lit(".html?q="), d,

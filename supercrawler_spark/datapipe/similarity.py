@@ -296,6 +296,41 @@ def det_plane_weights(dim: int, n_planes: int, table: int) -> list[list[int]]:
     return out
 
 
+def make_det_signatures_udf(dim: int, n_planes: int, n_tables: int):
+    """ALL tables' sign-projection signatures from ONE Arrow-batched
+    integer matmul (guide §4.2): the per-table weight matrices concatenate
+    into a single (dim, n_tables*n_planes) matrix, so one batch pays one
+    JVM↔Python round trip and one vectorized matmul instead of n_tables
+    separate pandas-UDF evaluations (the per-UDF closure pickling and
+    per-batch Python dispatch dominated at bench scale: 16 UDF instances
+    for ann_lsh_topk's two sides). Bit-identical to n_tables calls of
+    make_det_signature_udf: same det_plane_weights, same ties-away-from-
+    zero quantization, same exact int64 dots — only the batching changed.
+    Returns array<long>, element t = table t's packed signature."""
+    W = np.concatenate(
+        [np.array(det_plane_weights(dim, n_planes, t), dtype=np.int64).T
+         for t in range(n_tables)], axis=1)          # (dim, n_tables*n_planes)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = (np.sign(mat) * np.floor(np.abs(mat) * 1000.0 + 0.5)).astype(np.int64)
+        bits = (q @ W) > 0                           # (n, n_tables*n_planes)
+        sigs = bits.reshape(len(mat), W.shape[1] // len(pow2),
+                            len(pow2)) @ pow2        # (n, n_tables)
+        return pd.Series([row.tolist() for row in sigs.astype(np.int64)])
+
+    # guide §4.4: posexplode over this column plants an implicit
+    # (size(..) > 0 AND isnotnull(..)) filter that the optimizer pushes
+    # BELOW the UDF, duplicating the evaluation (two ArrowEvalPython
+    # nodes per side, observed in the r6 plan audit). The function is
+    # pure — the marker only forbids the optimizer from re-evaluating it.
+    return signatures.asNondeterministic()
+
+
 def make_det_signature_udf(dim: int, n_planes: int, table: int):
     """Packed sign-projection signature as an Arrow-batched integer matmul.
 
@@ -333,19 +368,17 @@ def det_lsh_ann_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     signatures computed by exact integer arithmetic an ANSI-SQL oracle
     replays bit-for-bit (see make_det_signature_udf). Recall vs brute
     force pinned in tests/test_datapipe.py."""
-    sig_udfs = [make_det_signature_udf(dim, n_planes, t)
-                for t in range(n_tables)]
+    sig_udf = make_det_signatures_udf(dim, n_planes, n_tables)
 
     def with_sigs(frame, idn):
-        out = frame.select(F.col(id_col).alias(idn),
-                           F.col(vec_col).alias("_v"))
-        for t in range(n_tables):
-            out = out.withColumn(f"_s{t}", sig_udfs[t](F.col("_v")))
-        return out.select(
-            idn,
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("s"))
-                for t in range(n_tables)])).alias("bucket"))
+        # one merged-matmul UDF evaluation per row instead of n_tables
+        # separate pandas UDFs (see make_det_signatures_udf); posexplode's
+        # index IS the table id, so the bucket struct is unchanged
+        return (frame
+                .select(F.col(id_col).alias(idn),
+                        sig_udf(F.col(vec_col)).alias("_sigs"))
+                .select(idn, F.posexplode("_sigs").alias("t", "s"))
+                .select(idn, F.struct(F.col("t"), F.col("s")).alias("bucket")))
 
     # Collision join + distinct carry IDS ONLY — at dim=768 float a
     # vector-carrying distinct exchanges ~6 KB/row for what is a key-dedup.
