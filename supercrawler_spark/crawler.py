@@ -1009,7 +1009,12 @@ class SparkCrawler:
             self.plan_sink["merge"] = plan_str(changes)
         # key set for the delta fold, from frames that are already pinned
         # (frame: eager localCheckpoint at pop; new_rows: persisted) — the
-        # merged plan itself then evaluates only once, in the checkpoint job
+        # merged plan itself then evaluates only once, in the checkpoint job.
+        # INVARIANT this key-set shortcut relies on: `merged` preserves
+        # EVERY `frame` row (it is a left join + projection only — never a
+        # filter). If a future edit filters `merged`, these keys would
+        # anti-join delta rows away without re-inserting them (silent
+        # frontier row loss); derive keys from `changes` itself in that case.
         changed_keys = (frame.select("url") if new_rows is None
                         else frame.select("url")
                                   .unionByName(new_rows.select("url")))

@@ -126,6 +126,13 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             from .crawler import plan_str
             plan_sink["iteration"] = plan_str(step)
         ranks = step.localCheckpoint(eager=True)
+        # NOTE: Dataset.unpersist only releases cache-manager entries; the
+        # RDD blocks pinned by a previous localCheckpoint are freed when
+        # the checkpointed RDD is garbage-collected (ContextCleaner), not
+        # here — so per-iteration memory release is best-effort. Rank
+        # state is 2 columns x |hosts| rows (never corpus-sized), and
+        # iteration counts are ~10-20, so the bounded retention is fine;
+        # if aggressive release is ever needed, drop to the RDD API.
         prev.unpersist()
     return ranks
 

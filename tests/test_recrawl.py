@@ -99,11 +99,14 @@ def test_never_changed_gets_max_interval_at_high_freshness(spark):
     sp = spark.createDataFrame(
         [("u", 0.0, "a"), ("u", HOUR, "a")],
         ["url", "fetch_time", "fingerprint"])
-    # even one unchanged interval keeps a positive (bias-corrected) rate;
-    # with a strict freshness target the clamp still bounds it
+    # with n=1 intervals and x=0 changes the estimator is
+    # -ln((1 - 0/(1+0.5)) ...) = -ln(1.5/1.5) = 0 — a ZERO rate, so the
+    # row takes the rate <= 0 branch and gets exactly max_ms (the old
+    # comment claimed a positive rate, which made the <= assertion look
+    # meaningful; pin the actual zero-rate behavior instead)
     out = RC.recrawl_interval(RC.change_rate(sp), target_freshness=0.99,
                               min_ms=HOUR, max_ms=10 * HOUR)
-    assert out.collect()[0]["recrawl_ms"] <= 10 * HOUR
+    assert out.collect()[0]["recrawl_ms"] == 10 * HOUR
 
 
 def test_single_exchange_plan(spark, visits):
