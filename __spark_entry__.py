@@ -79,7 +79,10 @@ def _ts(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     if _est_scan_tasks(os.path.join(sf_dir, f"{name}.parquet")) >= n:
         return df
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some deployments
+        width = n
     return df.repartition(width, F.col(key))
 
 
