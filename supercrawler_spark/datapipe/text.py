@@ -110,14 +110,23 @@ def lang_id(col) -> Column:
         return F.transform(
             acc, lambda c, j: F.when(j == idx, c + 1).otherwise(c))
 
-    counts = F.aggregate(hits, F.array(*[F.lit(0)] * len(langs)), step)
-    best = F.lit(langs[0])
-    best_score = counts[0]
-    for i, lang in enumerate(langs[1:], start=1):
-        cond = counts[i] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, counts[i]).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    def pick(counts):
+        # argmax INSIDE the aggregate's finish lambda: `counts` is a
+        # lambda variable (a cheap leaf), so the ~2x-per-language
+        # references below don't each duplicate the whole map+filter+
+        # aggregate subtree in the expression tree the way a Column
+        # reference would (r6: the duplicated form carried ~10 copies of
+        # the 50-literal marker map — guide §7.3 "gigantic expression
+        # trees"). Same comparisons, same tie-break, same result.
+        best = F.lit(langs[0])
+        best_score = counts[0]
+        for i, lang in enumerate(langs[1:], start=1):
+            cond = counts[i] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, counts[i]).otherwise(best_score)
+        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    return F.aggregate(hits, F.array(*[F.lit(0)] * len(langs)), step, pick)
 
 
 def quality_features(df: DataFrame, text_col: str = "text",
