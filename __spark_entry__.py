@@ -275,15 +275,29 @@ def q_dedup_exact_fp(spark, sf_dir):
     surface at the driver's 50-entry recording cap."""
     # measured (r6): the md5/fingerprint partial-aggs are cheaper than one
     # full-row exchange of the text column — the _ts spread regressed this
-    # query 0.36->0.62 s, so it deliberately stays on the plain scan
+    # query 0.36->0.62 s, so it deliberately stays on the plain scan.
+    # r6 fusion: ONE corpus pass computes both keys (hashes projected
+    # BEFORE the explode, so exploded rows carry ~40 bytes, never text)
+    # and ONE (kind, key) aggregation replaces the former
+    # two-scans-two-exchanges union — identical rows (same expressions as
+    # DD.exact_dedup / DD.fingerprint_dedup, oracle unchanged), half the
+    # scans/exchanges/codegen stages, and the right corpus-scale shape:
+    # a 100 TB corpus is read once, not twice (guide §2.3/§2.4).
+    from supercrawler_spark.datapipe.text import fingerprint
     docs = _t(spark, sf_dir, "documents")
-    a = DD.exact_dedup(docs).select(
-        F.lit("exact").alias("kind"),
-        F.col("content_hash").alias("key_hash"), "keeper_id", "n_copies")
-    b = DD.fingerprint_dedup(docs).select(
-        F.lit("fp").alias("kind"),
-        F.col("fp").alias("key_hash"), "keeper_id", "n_copies")
-    return a.unionByName(b)
+    keyed = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array(
+            F.struct(F.lit("exact").alias("kind"),
+                     F.md5(F.col("text")).alias("key_hash")),
+            F.struct(F.lit("fp").alias("kind"),
+                     fingerprint(F.col("text")).alias("key_hash")),
+        )).alias("k"))
+    return (keyed
+            .groupBy(F.col("k.kind").alias("kind"),
+                     F.col("k.key_hash").alias("key_hash"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
 
 
 def q_ngram_span_dedup(spark, sf_dir):
