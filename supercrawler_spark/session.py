@@ -65,6 +65,24 @@ def _warm_session(spark: SparkSession) -> None:
     _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
     df.select(F.pandas_udf(_identity, "long")("id").alias("id")) \
       .write.format("noop").mode("overwrite").save()
+    # a third, differently-shaped pass (string/hash functions, explode,
+    # self-join, distinct): each whole-stage codegen compile on a cold
+    # JVM costs ~3-5x its warm cost (janino + the JIT compiling itself),
+    # so the first few real queries otherwise absorb the JIT ramp;
+    # compiling several representative shapes here keeps that ramp out
+    # of query time. Still tiny in-memory data — compile cost dominates,
+    # execution is microseconds.
+    t = df.select(
+        "id", "k",
+        F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))).alias("h"),
+        F.split(F.lit("a b c d"), " ").alias("arr"))
+    e = t.select("id", F.explode("arr").alias("w"))
+    agg = e.groupBy("w").agg(F.count(F.lit(1)).alias("c"),
+                             F.min("id").alias("m"))
+    (t.join(agg, t["id"] == agg["m"], "left")
+      .select("id", "h", "w", "c")
+      .distinct()
+      .write.format("noop").mode("overwrite").save())
     spark.conf.set("spark.supercrawler.warmed", "1")
 
 
