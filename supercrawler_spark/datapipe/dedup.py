@@ -193,17 +193,21 @@ def simhash(df: DataFrame, text_col: str = "text",
     exploded = exploded.select(
         F.col(id_col), F.col("tok"), md5_long(F.col("tok")).alias("_h"))
 
-    def lane_bit(k: int, lane: int) -> "F.Column":
+    # packed lane sums assembled as SQL strings: ONE parser round trip
+    # per aggregate instead of ~6 py4j Column-operator calls each —
+    # measured r6: Python-side assembly of this aggregation cost
+    # 0.45-0.74 s per query build; identical expressions, identical plan
+    def lane_bit_sql(k: int, lane: int) -> str:
         j = k + lane * _SIMHASH_GROUPS
-        b = F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1))
-        return F.shiftleft(b, lane * _SIMHASH_LANE_W) if lane else b
+        b = f"(shiftrightunsigned(_h, {j}) & 1)"
+        return f"shiftleft({b}, {lane * _SIMHASH_LANE_W})" if lane else b
 
-    packed = []
-    for k in range(_SIMHASH_GROUPS):
-        v = lane_bit(k, 0)
-        for lane in range(1, _SIMHASH_LANES):
-            v = v + lane_bit(k, lane)
-        packed.append(F.sum(v).alias(f"p{k}"))
+    packed = [
+        F.expr("sum(" + " + ".join(lane_bit_sql(k, lane)
+                                   for lane in range(_SIMHASH_LANES)) + ")")
+        .alias(f"p{k}")
+        for k in range(_SIMHASH_GROUPS)
+    ]
     agg = exploded.groupBy(id_col).agg(
         F.count(F.col("tok")).alias("n_tok"), *packed)
     # signature assembly as ONE higher-order aggregate over the packed
@@ -216,8 +220,8 @@ def simhash(df: DataFrame, text_col: str = "text",
     # counter = (p[j%20] >>> (21*(j div 20))) & (2^21-1), bit j set iff
     # counter*2 > n_tok (ties -> 0), identical to the unrolled form and
     # to the DuckDB twin in __spark_entry__.oracle_sql.
-    parr = F.array(*[F.coalesce(F.col(f"p{k}"), F.lit(0).cast("long"))
-                     for k in range(_SIMHASH_GROUPS)])
+    parr = F.expr("array(" + ", ".join(
+        f"coalesce(p{k}, 0L)" for k in range(_SIMHASH_GROUPS)) + ")")
     value = F.expr(
         f"aggregate(sequence(0, {SIMHASH_BITS - 1}), 0L, (acc, j) -> "
         f"acc + IF((shiftrightunsigned(element_at(_parr, (j % {_SIMHASH_GROUPS}) + 1), "
