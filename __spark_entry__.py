@@ -568,24 +568,24 @@ def q_multimodal_pipeline(spark, sf_dir):
     images = spark.createDataFrame(fixtures.make_images(32, seed=42)).coalesce(1)
     videos = spark.createDataFrame(
         fixtures.make_videos(8, n_frames=12, seed=42)).coalesce(1)
-    dec = MM.decode_features(images).select(
-        F.lit("decode").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(None).cast("int").alias("frame_idx"), "w", "h", "fmt", "phash",
-        F.col("mean_luma").alias("metric"),
-        F.col("decode_error").isNull().alias("ok"))
-    ver = MM.verify_against_reference(images).select(
-        F.lit("verify").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(None).cast("int").alias("frame_idx"),
-        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
-        F.lit(None).cast("string").alias("fmt"),
-        F.lit(None).cast("long").alias("phash"),
-        F.col("psnr_db").alias("metric"),
-        (F.col("pixels_ok") & F.col("caption_ok")).alias("ok"))
-    frm = MM.frame_sample(videos, every_n=4).select(
-        F.lit("frame").alias("kind"), F.col("video_id").alias("item_id"),
-        "frame_idx", "w", "h", F.lit(None).cast("string").alias("fmt"),
-        "phash", F.lit(None).cast("double").alias("metric"),
-        F.col("decode_error").isNull().alias("ok"))
+    # branch projections as selectExpr strings: the six ~10-column
+    # Column-operator assemblies cost ~180 py4j round trips (~0.5 s of
+    # pure build time); one SQL-parse per branch builds the identical
+    # projections (r6, same rationale as simhash's packed-agg strings)
+    dec = MM.decode_features(images).selectExpr(
+        "'decode' AS kind", "image_id AS item_id",
+        "CAST(NULL AS int) AS frame_idx", "w", "h", "fmt", "phash",
+        "mean_luma AS metric", "decode_error IS NULL AS ok")
+    ver = MM.verify_against_reference(images).selectExpr(
+        "'verify' AS kind", "image_id AS item_id",
+        "CAST(NULL AS int) AS frame_idx",
+        "CAST(NULL AS int) AS w", "CAST(NULL AS int) AS h",
+        "CAST(NULL AS string) AS fmt", "CAST(NULL AS long) AS phash",
+        "psnr_db AS metric", "(pixels_ok AND caption_ok) AS ok")
+    frm = MM.frame_sample(videos, every_n=4).selectExpr(
+        "'frame' AS kind", "video_id AS item_id",
+        "frame_idx", "w", "h", "CAST(NULL AS string) AS fmt", "phash",
+        "CAST(NULL AS double) AS metric", "decode_error IS NULL AS ok")
     # round-5 curation stages over the same images (+1 planted caption
     # dup so the dedup stage records a real drop): cross-modal dedup,
     # caption<->image alignment, metadata quality gate
@@ -598,27 +598,24 @@ def q_multimodal_pipeline(spark, sf_dir):
         "fmt": "png", "caption": str(pdf.loc[0, "caption"]),
         "phash": 424242}])], ignore_index=True)
     curated = spark.createDataFrame(planted).coalesce(1)
-    ddp = XM.crossmodal_dedup(curated).select(
-        F.lit("xm_dedup").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(None).cast("int").alias("frame_idx"),
-        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
-        F.lit(None).cast("string").alias("fmt"),
-        F.lit(None).cast("long").alias("phash"),
-        F.lit(None).cast("double").alias("metric"), F.col("keep").alias("ok"))
-    aln = XM.alignment_filter(curated, threshold=0.0).select(
-        F.lit("align").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(None).cast("int").alias("frame_idx"),
-        F.lit(None).cast("int").alias("w"), F.lit(None).cast("int").alias("h"),
-        F.lit(None).cast("string").alias("fmt"),
-        F.lit(None).cast("long").alias("phash"),
-        F.col("alignment").cast("double").alias("metric"),
-        F.col("keep").alias("ok"))
-    gate = XM.image_quality_gate(curated, min_w=32, min_h=32).select(
-        F.lit("gate").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(None).cast("int").alias("frame_idx"),
-        F.col("w").cast("int").alias("w"), F.col("h").cast("int").alias("h"),
-        "fmt", F.lit(None).cast("long").alias("phash"),
-        F.lit(None).cast("double").alias("metric"), F.col("keep").alias("ok"))
+    ddp = XM.crossmodal_dedup(curated).selectExpr(
+        "'xm_dedup' AS kind", "image_id AS item_id",
+        "CAST(NULL AS int) AS frame_idx",
+        "CAST(NULL AS int) AS w", "CAST(NULL AS int) AS h",
+        "CAST(NULL AS string) AS fmt", "CAST(NULL AS long) AS phash",
+        "CAST(NULL AS double) AS metric", "keep AS ok")
+    aln = XM.alignment_filter(curated, threshold=0.0).selectExpr(
+        "'align' AS kind", "image_id AS item_id",
+        "CAST(NULL AS int) AS frame_idx",
+        "CAST(NULL AS int) AS w", "CAST(NULL AS int) AS h",
+        "CAST(NULL AS string) AS fmt", "CAST(NULL AS long) AS phash",
+        "CAST(alignment AS double) AS metric", "keep AS ok")
+    gate = XM.image_quality_gate(curated, min_w=32, min_h=32).selectExpr(
+        "'gate' AS kind", "image_id AS item_id",
+        "CAST(NULL AS int) AS frame_idx",
+        "CAST(w AS int) AS w", "CAST(h AS int) AS h",
+        "fmt", "CAST(NULL AS long) AS phash",
+        "CAST(NULL AS double) AS metric", "keep AS ok")
     # total order on a 187-row result WITHOUT a rangepartitioning
     # exchange: orderBy here planned Exchange rangepartitioning(.., 32),
     # whose boundary-sampling pass re-executed every union branch (all
